@@ -1,0 +1,117 @@
+"""End-to-end descriptor pipeline — the framework's driver.
+
+Replaces the reference's Example/example.py (its only "API"): computes the
+full descriptor suite in dependency order, then calibrates/validates a flood
+map.  Device-resident: one jitted program computes every descriptor; only
+raster I/O and the exact float64 calibration run on host.
+
+Dependency DAG (Example/example.py:59-91):
+    slope -> TWI/mod-TWI;  fdr -> downslope;  fdr+river -> fdist,indices ->
+    HAND -> GFI;  indices+fac -> river-fac -> GFI;  hand+fac -> ln(hl/H);
+    HAND -> calibration -> classified map.
+"""
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from descriptools_tpu import evaluation
+from descriptools_tpu.constants import DOWNSLOPE_MAX_STEPS, FLOW_MAX_STEPS, NODATA
+from descriptools_tpu.ops import (
+    downslope,
+    flow_hand_index,
+    gfi_calculator,
+    ln_hl_h,
+    slope,
+    topographic_index,
+    modified_topographic_index,
+)
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Physics constants of the suite (reference call-site values,
+    Example/example.py:45-91)."""
+
+    px: float = 12.5
+    elevation_difference: float = 5.0  # downslope potential-energy drop [m]
+    n_topo: float = 0.1  # modified-TWI exponent
+    n_gfi: float = 0.4  # GFI / ln(hl/H) exponent
+    b_gfi: float = 0.1  # GFI / ln(hl/H) scale factor
+    river_threshold: int = 128000  # fac cells above this are river
+    downslope_max_steps: int = DOWNSLOPE_MAX_STEPS
+    flow_max_steps: int = FLOW_MAX_STEPS
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
+    """All descriptors in one compiled program.
+
+    dem should be an integer dtype for bitwise HAND parity with the
+    reference golden (the example feeds int16).
+    """
+    dem_f = jnp.asarray(dem, jnp.float32)
+    sl = slope(dem_f, cfg.px)
+    sl_rad = jnp.where(dem_f == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
+    twi = topographic_index(fac, sl_rad, cfg.px)
+    mtwi = modified_topographic_index(fac, sl_rad, cfg.px, cfg.n_topo)
+    down = downslope(
+        dem_f, fdr, cfg.px, cfg.elevation_difference, max_steps=cfg.downslope_max_steps
+    )
+    fdist, indices, hand = flow_hand_index(
+        dem, fdr, river, cfg.px, max_steps=cfg.flow_max_steps
+    )
+    geofi = gfi_calculator(hand, fac, indices, cfg.n_gfi, cfg.b_gfi, cfg.px)
+    lnhlh = ln_hl_h(hand, fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
+    return dict(
+        slope=sl,
+        slope_rad=sl_rad,
+        twi=twi,
+        mod_twi=mtwi,
+        downslope=down,
+        fdist=fdist,
+        indices=indices,
+        hand=hand,
+        gfi=geofi,
+        ln_hl_h=lnhlh,
+    )
+
+
+def classify_flood(hand, flood, under="under"):
+    """Calibrate a threshold on HAND and classify, exactly like
+    Example/example.py:106-147.  Returns (threshold, correctness, fit,
+    class_map uint8) — class_map is the golden ``hand_class.tif`` artifact.
+    """
+    hand = np.asarray(hand)
+    elements = np.unique(hand)
+    mx = elements[-1]
+    mn = elements[1]  # elements[0] is the -100 NoData sentinel
+    # Float64 scaling on host, matching the reference arithmetic exactly.
+    from descriptools_tpu import oracle
+
+    desc = oracle.min_max_scale_oracle(hand, mn, mx)
+    th = evaluation.calibration(desc, flood, under, backend="numpy")
+    binary = oracle.binary_map_oracle(desc, th, under)
+    c, f, class_map = oracle.confusion_oracle(binary, flood)
+    return th, c, f, class_map.astype(np.uint8)
+
+
+def run_example(example_dir, cfg: PipelineConfig = PipelineConfig()):
+    """Full pipeline on the bundled basin; returns descriptors + classification."""
+    from descriptools_tpu.io import load_example_inputs
+
+    data = load_example_inputs(example_dir)
+    out = descriptor_suite(
+        jnp.asarray(data["dem"], jnp.int32),
+        jnp.asarray(data["fdr"]),
+        jnp.asarray(data["fac"], jnp.int32),
+        jnp.asarray(data["river"]),
+        cfg,
+    )
+    out = {k: np.asarray(v) for k, v in out.items()}
+    th, c, f, class_map = classify_flood(out["hand"], data["flood"])
+    out.update(threshold=th, correctness=c, fit=f, class_map=class_map)
+    return out
