@@ -1,0 +1,206 @@
+"""Sharded descriptor execution over a 2-D device mesh (shard_map + pjit).
+
+Each public function takes host or device arrays of the *global* raster plus
+a Mesh; rasters are padded (NoData) to equal blocks, computed concurrently on
+all devices, and cropped back.  Integer outputs (indices, HAND) are bitwise
+identical to the single-device path for any mesh shape; float distances
+differ only in f32 summation order.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from descriptools_tpu.constants import (
+    DOWNSLOPE_MAX_STEPS,
+    EPS,
+    FLOW_MAX_STEPS,
+    NODATA,
+)
+from descriptools_tpu.ops.downslope import downslope as _downslope_single
+from descriptools_tpu.ops.slope import slope_from_padded
+from descriptools_tpu.parallel import boundary
+from descriptools_tpu.parallel.halo import halo_exchange
+from descriptools_tpu.parallel.mesh import crop_from_mesh, pad_to_mesh
+
+
+def _device_put_sharded(arr, mesh):
+    return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P("y", "x")))
+
+
+def sharded_slope(dem, px, mesh):
+    """Slope stencil with 1-cell ICI halo exchange."""
+    shape = np.asarray(dem).shape
+    demp = pad_to_mesh(np.asarray(dem), mesh, NODATA)
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh, in_specs=P("y", "x"), out_specs=P("y", "x"),
+    )
+    def run(blk):
+        return slope_from_padded(halo_exchange(blk, 1, NODATA), px)
+
+    out = run(_device_put_sharded(demp.astype(np.float32), mesh))
+    return crop_from_mesh(out, shape)
+
+
+def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px, max_steps):
+    """shard_map body: local summary -> all-gather ring -> solve -> combine."""
+    iy = lax.axis_index("y")
+    ix = lax.axis_index("x")
+    nx = lax.axis_size("x")
+
+    local = boundary.local_flow_summary(
+        dem_blk, fdr_blk, river_blk, fac_blk, iy, ix, h, w, R, C, px
+    )
+
+    ridx_sel = jnp.asarray(boundary.ring_indices(h, w))
+    ring_local = {k: v[ridx_sel] for k, v in local.items()}
+    # Gather every shard's ring records: (ny, nx, ring_len) -> flat G.
+    ring = jax.tree.map(
+        lambda a: lax.all_gather(lax.all_gather(a, "x"), "y").reshape(-1),
+        ring_local,
+    )
+    solved = boundary.solve_ring(ring, h, w, nx, max_steps)
+    landed, dist, ridx, rz, rfac = boundary.combine(local, solved, h, w, nx, max_steps)
+
+    dem_f = jnp.asarray(dem_blk).reshape(-1)
+    nd = jnp.asarray(NODATA, dem_f.dtype)
+    fdist = jnp.where(landed, dist, jnp.float32(NODATA)).reshape(h, w)
+    indices = jnp.where(landed, ridx, jnp.int32(NODATA)).reshape(h, w)
+    hand = jnp.where(
+        (dem_f != nd) & landed,
+        jnp.maximum(dem_f - rz.astype(dem_f.dtype), jnp.asarray(0, dem_f.dtype)),
+        nd,
+    ).reshape(h, w)
+    river_fac = jnp.where(landed, rfac, fac0).reshape(h, w)
+    return fdist, indices, hand, river_fac
+
+
+def sharded_flow_hand(dem, fdr, river, fac, px, mesh, max_steps=FLOW_MAX_STEPS):
+    """Flow distance / river indices / HAND / river-fac via the boundary-graph
+    reduction.  ``fac`` rides along as the river payload so GFI needs no
+    global gather.  dem should be integer for bitwise HAND parity.
+    """
+    shape = np.asarray(dem).shape
+    demp = pad_to_mesh(np.asarray(dem), mesh, NODATA)
+    fdrp = pad_to_mesh(np.asarray(fdr), mesh, 0)
+    riverp = pad_to_mesh(np.asarray(river), mesh, 0)
+    facp = pad_to_mesh(np.asarray(fac), mesh, NODATA)
+    R, C = demp.shape
+    ny, nx = mesh.devices.shape
+    h, w = R // ny, C // nx
+    # The reference's river_accumulation falls back to fac.flat[0] for
+    # unresolved cells (gfi.py:141-143) — preserved for parity.
+    fac0 = jnp.float32(np.asarray(fac).reshape(-1)[0])
+
+    body = partial(
+        _flow_block, h=h, w=w, R=R, C=C, px=px, max_steps=max_steps, fac0=fac0
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("y", "x"),) * 4,
+        out_specs=(P("y", "x"),) * 4,
+    )
+    def run(d, f, r, a):
+        return body(d, f, r, a)
+
+    fdist, indices, hand, river_fac = run(
+        _device_put_sharded(demp, mesh),
+        _device_put_sharded(fdrp, mesh),
+        _device_put_sharded(riverp, mesh),
+        _device_put_sharded(facp, mesh),
+    )
+    indices = crop_from_mesh(indices, shape)
+    if C != shape[1]:
+        # Flat indices were computed in the padded grid; renumber to the
+        # original column count (river cells never live in the padding).
+        indices = jnp.where(
+            indices == NODATA, NODATA, (indices // C) * shape[1] + indices % C
+        )
+    return (
+        crop_from_mesh(fdist, shape),
+        indices,
+        crop_from_mesh(hand, shape),
+        crop_from_mesh(river_fac, shape),
+    )
+
+
+def sharded_downslope(
+    dem, fdr, px, elevation_difference, mesh,
+    halo=64, max_steps=DOWNSLOPE_MAX_STEPS,
+):
+    """Downslope index with a halo-buffered local binary descent.
+
+    Walks confined to within ``halo`` cells of the home block are exact;
+    a walk that leaves the extended block stops at its edge (the same
+    partial-gradient semantics the reference applies at grid borders).
+    Downslope walks terminate after a ~``elevation_difference`` metre drop,
+    so a modest halo covers them on real terrain; raise ``halo`` (up to
+    min(h, w)) for pathological flats.
+    """
+    shape = np.asarray(dem).shape
+    demp = pad_to_mesh(np.asarray(dem).astype(np.float32), mesh, NODATA)
+    fdrp = pad_to_mesh(np.asarray(fdr), mesh, 0)
+    ny, nx = mesh.devices.shape
+    h, w = demp.shape[0] // ny, demp.shape[1] // nx
+    halo = int(min(halo, h, w))
+
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+        out_specs=P("y", "x"),
+    )
+    def run(dem_blk, fdr_blk):
+        dem_ext = halo_exchange(dem_blk, halo, NODATA)
+        fdr_ext = halo_exchange(fdr_blk, halo, 0)
+        out = _downslope_single(
+            dem_ext, fdr_ext, px, elevation_difference, max_steps=max_steps
+        )
+        return out[halo:-halo, halo:-halo]
+
+    out = run(_device_put_sharded(demp, mesh), _device_put_sharded(fdrp, mesh))
+    return crop_from_mesh(out, shape)
+
+
+def sharded_suite(dem, fdr, fac, river, cfg, mesh, downslope_halo=64):
+    """Full descriptor suite over the mesh (slope, TWI, mod-TWI, downslope,
+    fdist, indices, HAND, GFI, ln(hl/H)).  Mirrors pipeline.descriptor_suite.
+    """
+    from descriptools_tpu.ops.topo import (
+        modified_topographic_index,
+        topographic_index,
+    )
+    from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
+
+    sl = sharded_slope(np.asarray(dem).astype(np.float32), cfg.px, mesh)
+    fdist, indices, hand, river_fac = sharded_flow_hand(
+        dem, fdr, river, fac, cfg.px, mesh, max_steps=cfg.flow_max_steps
+    )
+    down = sharded_downslope(
+        dem, fdr, cfg.px, cfg.elevation_difference, mesh,
+        halo=downslope_halo, max_steps=cfg.downslope_max_steps,
+    )
+
+    # Pointwise maps: plain jit over the sharded arrays (XLA partitions
+    # elementwise ops without data movement).
+    dem_j = jnp.asarray(np.asarray(dem), jnp.float32)
+    sl_rad = jnp.where(dem_j == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
+    fac_j = jnp.asarray(np.asarray(fac))
+    twi = topographic_index(fac_j, sl_rad, cfg.px)
+    mtwi = modified_topographic_index(fac_j, sl_rad, cfg.px, cfg.n_topo)
+    geofi = _gfi(hand, river_fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
+    lnhlh = _ln_hl_h(hand, fac_j, cfg.n_gfi, cfg.b_gfi, cfg.px)
+    return dict(
+        slope=sl, slope_rad=sl_rad, twi=twi, mod_twi=mtwi, downslope=down,
+        fdist=fdist, indices=indices, hand=hand, river_fac=river_fac,
+        gfi=geofi, ln_hl_h=lnhlh,
+    )

@@ -1,0 +1,104 @@
+"""Sharded execution on an 8-device virtual CPU mesh vs single-device ops.
+
+Integer outputs (indices, HAND) must be bitwise identical for every mesh
+shape; floats allclose (f32 summation order differs across decompositions).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from descriptools_tpu import oracle
+from descriptools_tpu.constants import NODATA
+from descriptools_tpu.ops import downslope, flow_distance_index, slope
+from descriptools_tpu.parallel import (
+    make_mesh,
+    sharded_downslope,
+    sharded_flow_hand,
+    sharded_slope,
+    sharded_suite,
+)
+from descriptools_tpu.pipeline import PipelineConfig
+from descriptools_tpu.utils.synthetic import synthetic_basin
+
+PX = 12.5
+
+
+@pytest.fixture(scope="module")
+def basin():
+    return synthetic_basin(72, 100, seed=21)
+
+
+def meshes():
+    devs = jax.devices()
+    assert len(devs) >= 8, "conftest must provide 8 virtual devices"
+    return [make_mesh((2, 4)), make_mesh((4, 2)), make_mesh((1, 8))]
+
+
+@pytest.mark.parametrize("mesh_idx", [0, 1, 2])
+def test_sharded_slope_matches_single(basin, mesh_idx):
+    dem, _, _, _ = basin
+    mesh = meshes()[mesh_idx]
+    got = np.asarray(sharded_slope(dem, PX, mesh))
+    want = np.asarray(slope(dem, PX))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+@pytest.mark.parametrize("mesh_idx", [0, 1, 2])
+def test_sharded_flow_matches_single(basin, mesh_idx):
+    dem, fdr, river, fac = basin
+    mesh = meshes()[mesh_idx]
+    fdist, indices, hand, river_fac = sharded_flow_hand(
+        dem.astype(np.int32), fdr, river, fac.astype(np.int32), PX, mesh
+    )
+    want_d, want_i = oracle.flow_distance_index_oracle(fdr, river, PX)
+    want_h = oracle.hand_oracle(dem.astype(np.int32), want_i)
+    want_rf = oracle.river_accumulation_oracle(fac.astype(np.int32), want_i)
+    np.testing.assert_array_equal(np.asarray(indices), want_i)
+    np.testing.assert_array_equal(np.asarray(hand), want_h)
+    np.testing.assert_allclose(np.asarray(fdist), want_d, rtol=1e-4, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(river_fac), want_rf, rtol=1e-6)
+
+
+def test_sharded_flow_uneven_pad(basin):
+    # 72x100 over a (4,2)? already even; force padding with an odd grid.
+    dem, fdr, river, fac = synthetic_basin(45, 53, seed=5)
+    mesh = make_mesh((2, 4))
+    fdist, indices, hand, _ = sharded_flow_hand(
+        dem.astype(np.int32), fdr, river, fac.astype(np.int32), PX, mesh
+    )
+    want_d, want_i = oracle.flow_distance_index_oracle(fdr, river, PX)
+    np.testing.assert_array_equal(np.asarray(indices), want_i)
+    np.testing.assert_array_equal(
+        np.asarray(hand), oracle.hand_oracle(dem.astype(np.int32), want_i)
+    )
+
+
+@pytest.mark.parametrize("mesh_idx", [0, 2])
+def test_sharded_downslope_matches_single(basin, mesh_idx):
+    dem, fdr, _, _ = basin
+    mesh = meshes()[mesh_idx]
+    # Steep synthetic terrain: walks stop well within the halo.
+    got = np.asarray(sharded_downslope(dem, fdr, PX, 5.0, mesh, halo=16))
+    want = np.asarray(downslope(dem.astype(np.float32), fdr, PX, 5.0))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sharded_suite_runs(basin):
+    dem, fdr, river, fac = basin
+    mesh = make_mesh((2, 4))
+    out = sharded_suite(
+        dem.astype(np.int32), fdr, fac.astype(np.int32), river,
+        PipelineConfig(), mesh,
+    )
+    assert set(out) >= {"slope", "twi", "mod_twi", "downslope", "fdist",
+                        "indices", "hand", "gfi", "ln_hl_h"}
+    want_d, want_i = oracle.flow_distance_index_oracle(fdr, river, PX)
+    np.testing.assert_array_equal(np.asarray(out["indices"]), want_i)
+    # GFI via payload == GFI via global gather oracle
+    hand = oracle.hand_oracle(dem.astype(np.int32), want_i)
+    rfac = oracle.river_accumulation_oracle(fac.astype(np.int32), want_i)
+    np.testing.assert_allclose(
+        np.asarray(out["gfi"]), oracle.gfi_oracle(hand, rfac, 0.4, 0.1, PX),
+        rtol=2e-5, atol=1e-3,
+    )
