@@ -38,7 +38,9 @@ def _time_suite(device, dem, fdr, fac, river, cfg):
 
     def run():
         out = descriptor_suite(args[0], args[1], args[2], args[3], cfg)
-        jax.block_until_ready(out)
+        # block_until_ready does not actually block on the axon backend;
+        # a scalar readback of one output syncs the whole program.
+        float(jnp.sum(out["hand"]))
         return out
 
     for _ in range(WARMUP):

@@ -16,3 +16,26 @@ from descriptools_tpu import constants, d8, evaluation, io, ops
 from descriptools_tpu.constants import NODATA
 
 __all__ = ["constants", "d8", "evaluation", "io", "ops", "NODATA", "__version__"]
+
+
+def _enable_compilation_cache():
+    """Persistent XLA compilation cache: first compile of the big pointer-
+    jumping programs takes minutes over the remote-compile tunnel; cache hits
+    make every later process start warm."""
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get(
+        "DESCRIPTOOLS_TPU_CACHE",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache"),
+    )
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass
+
+
+_enable_compilation_cache()

@@ -98,3 +98,28 @@ def d8_flow_direction(dem, nodata=-100):
 def jax_slice(padded, dy, dx, rows, cols):
     """Shifted view of a 1-ring-padded raster."""
     return padded[1 + dy : 1 + dy + rows, 1 + dx : 1 + dx + cols]
+
+
+def pull8(fdr, arrays, fills):
+    """Per-cell pull of values from each cell's D8 successor — gather-free.
+
+    ``pulled[c] = X[c + delta(fdr[c])]`` computed as eight shifted-array
+    selects (pure VPU; ~150x cheaper than an XLA gather on TPU, which is
+    serialized per index).  Cells with invalid/no direction keep their own
+    value.  ``fills`` pads the 1-ring (value seen when the successor is off
+    the local grid).
+
+    This is the workhorse of the frontier-propagation ("Jacobi") form of the
+    flow walks: one pull advances every cell's knowledge one step along its
+    flow path.
+    """
+    rows, cols = fdr.shape
+    outs = []
+    for arr, fill in zip(arrays, fills):
+        padded = jnp.pad(arr, 1, constant_values=arr.dtype.type(fill))
+        acc = arr
+        for code, dy, dx in zip(D8_CODES, D8_DY, D8_DX):
+            nbr = padded[1 + dy : 1 + dy + rows, 1 + dx : 1 + dx + cols]
+            acc = jnp.where(fdr == code, nbr, acc)
+        outs.append(acc)
+    return outs

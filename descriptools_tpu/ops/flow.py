@@ -1,25 +1,35 @@
-"""Flow tracing to the drainage network — pointer jumping (XLA).
+"""Flow tracing to the drainage network — gather-minimal TPU design.
 
 TPU-native recast of reference flowhand.py.  The reference walks each cell's
 D8 path serially on the GPU — up to 20000 data-dependent steps per thread
-with heavy warp divergence (flowhand.py:565-846).  Here the walk is recast as
-*successor doubling*: every cell stores its current successor, accumulated
-distance, and step count; K = ceil(log2(max_steps)) rounds of three gathers
-resolve every path simultaneously in log depth.  Absorbing states (river
-cells and dead ends) are self-loops with zero step weight, so composition is
-idempotent once a path lands.
+(flowhand.py:565-846).  A naive pointer-jumping port is log-depth but every
+doubling round is three whole-grid XLA gathers, and TPU gathers are
+serialized per index (~30 ms for 3.3 M cells on v5e — measured); the walk
+ops then dominate the whole suite.
 
-Semantics (spec: flowhand.py flow_distance_index_gpu with zero divisions —
-the configuration that produced the committed goldens; see oracle/core.py
-flow_distance_index_oracle for the cell-level truth table):
+The production engine is therefore a two-phase hybrid built on the measured
+cost model (8-way shifted select ~0.2 ms, subset gather ~3-6 ms, full gather
+~30 ms):
 
-  - start/arrived cell with fdr == 0            -> NaN state (-100, -100)
-  - cell with fdr != 0 that is river            -> absorbed (dist, flat idx)
-  - off-grid D8 step, invalid code, cycles, and
-    paths longer than max_steps (20000)         -> (-100, -100)
+  Phase 1 — frontier propagation ("Jacobi"): every cell pulls its
+  successor's resolution via descriptools_tpu.d8.pull8 (pure VPU select
+  chain, no gathers).  Each sweep extends every resolved drainage frontier
+  one cell upstream, so k sweeps resolve all cells within k steps of a river
+  or dead end.  The loop exits when the unresolved count fits the compaction
+  budget, when a sweep resolves nothing (only cycle/over-cap cells remain —
+  exactly the reference's -100 outcomes), or at the 20000-step cap.
 
-HAND (flowhand.py:414-442) needs dem at each cell's river index — instead of
-a second global gather pass we read the payload off the converged successor.
+  Phase 2 — compacted doubling: surviving long-path cells (a small minority)
+  are compacted by a sort, and classic successor doubling runs on the small
+  set with *packed* (K,4)-row gathers — gather cost is per index, so packing
+  the four state fields into rows makes each round one cheap subset gather.
+  A walk that leaves the compacted set necessarily enters a resolved cell
+  (resolution distance decreases along flow), absorbing immediately.
+
+Integer results are bit-identical to the reference truth table (see
+oracle/core.py flow_distance_index_oracle); float distances differ only in
+f32 summation order.  method='doubling' keeps the plain pointer-jumping
+engine for cross-checking.
 """
 
 from functools import partial
@@ -28,7 +38,9 @@ import jax
 import jax.numpy as jnp
 
 from descriptools_tpu.constants import FLOW_MAX_STEPS, NODATA
-from descriptools_tpu.d8 import successor
+from descriptools_tpu.d8 import pull8, successor
+
+_F32_IDX_LIMIT = 1 << 24  # flat indices are packed exactly into float32
 
 
 def _doubling_rounds(max_steps):
@@ -39,11 +51,8 @@ def _doubling_rounds(max_steps):
 
 
 def flow_states(fdr, river, rows, cols):
-    """Per-cell absorbing classification (flat bool arrays).
-
-    Truth table derived from flowhand.py:599-846; identical for start cells
-    and arrived-at cells (see oracle docstring).
-    """
+    """Per-cell absorbing classification (flat arrays) — truth table derived
+    from flowhand.py:599-846; identical for start and arrived-at cells."""
     fdr_f = jnp.asarray(fdr).reshape(-1)
     river_f = jnp.asarray(river).reshape(-1)
     succ, step, in_bounds, valid = successor(fdr, rows, cols)
@@ -60,14 +69,10 @@ def flow_states(fdr, river, rows, cols):
 
 
 @partial(jax.jit, static_argnames=("max_steps", "px"))
-def flow_distance_index(fdr, river, px, max_steps=FLOW_MAX_STEPS):
-    """Flow distance + river-cell flat index for a whole grid on one device.
-
-    Returns (fdist float32, indices int32).
-    """
+def _flow_doubling(fdr, river, px, max_steps):
+    """Plain whole-grid successor doubling (reference engine for tests)."""
     rows, cols = fdr.shape
     succ, step, absorbing, absorb_nan, is_river = flow_states(fdr, river, rows, cols)
-
     n = rows * cols
     self_idx = jnp.arange(n, dtype=jnp.int32)
     succ = jnp.where(absorbing, self_idx, succ)
@@ -76,19 +81,170 @@ def flow_distance_index(fdr, river, px, max_steps=FLOW_MAX_STEPS):
 
     def body(carry, _):
         s, d, st = carry
-        d = d + d[s]
-        st = st + st[s]
-        s = s[s]
-        return (s, d, st), None
+        return (s[s], d + d[s], st + st[s]), None
 
     (succ_f, dist_f, steps_f), _ = jax.lax.scan(
         body, (succ, dist, steps), None, length=_doubling_rounds(max_steps)
     )
-
     landed = is_river[succ_f] & (steps_f <= max_steps)
     fdist = jnp.where(landed, dist_f, jnp.float32(NODATA))
     indices = jnp.where(landed, succ_f, jnp.int32(NODATA))
     return fdist.reshape(rows, cols), indices.reshape(rows, cols)
+
+
+@partial(jax.jit, static_argnames=("max_steps", "px", "cap"))
+def _flow_hybrid(fdr, river, px, max_steps, cap):
+    rows, cols = fdr.shape
+    n = rows * cols
+    succ, step, absorbing, absorb_nan, is_river = flow_states(fdr, river, rows, cols)
+    self_idx = jnp.arange(n, dtype=jnp.int32)
+    stepd = jnp.where(absorbing, 0.0, step * jnp.float32(px)).reshape(rows, cols)
+
+    # Pulls must not cross absorbing cells: zero their direction so pull8
+    # keeps their own (final) values.
+    fdr_eff = jnp.where(absorbing.reshape(rows, cols), 0, jnp.asarray(fdr))
+
+    resolved0 = absorbing.reshape(rows, cols)
+    river0 = is_river.reshape(rows, cols)
+    dist0 = jnp.zeros((rows, cols), jnp.float32)
+    steps0 = jnp.zeros((rows, cols), jnp.float32)
+    absorber0 = jnp.where(
+        resolved0, self_idx.reshape(rows, cols).astype(jnp.float32), 0.0
+    )
+
+    def cond(carry):
+        resolved, *_rest, newly, t = carry
+        unresolved = jnp.sum(~resolved)
+        return (unresolved > cap) & (newly > 0) & (t < max_steps)
+
+    def body(carry):
+        resolved, riverf, dist, steps, absorber, _newly, t = carry
+        p_res, p_riv, p_d, p_s, p_a = pull8(
+            fdr_eff,
+            [resolved, riverf, dist, steps, absorber],
+            [False, False, 0.0, 0.0, 0.0],
+        )
+        hit = (~resolved) & p_res
+        dist = jnp.where(hit, stepd + p_d, dist)
+        steps = jnp.where(hit, 1.0 + p_s, steps)
+        absorber = jnp.where(hit, p_a, absorber)
+        riverf = jnp.where(hit, p_riv, riverf)
+        resolved = resolved | hit
+        return (resolved, riverf, dist, steps, absorber, jnp.sum(hit), t + 1)
+
+    carry = (
+        resolved0, river0, dist0, steps0, absorber0,
+        jnp.array(1, jnp.int32), jnp.array(0, jnp.int32),
+    )
+    resolved, riverf, dist, steps, absorber, _newly, _t = jax.lax.while_loop(
+        cond, body, carry
+    )
+
+    # ---- Phase 2: compacted doubling over the unresolved residue ----
+    unresolved = (~resolved).reshape(-1)
+
+    def phase2(args):
+        resolved_f, riverf_f, dist_f, steps_f, absorber_f = (
+            a.reshape(-1) for a in args
+        )
+        # Compact: unresolved first (stable sort by flag keeps cell order).
+        keys = jnp.where(unresolved, 0, 1).astype(jnp.int32)
+        _, order = jax.lax.sort((keys, self_idx), num_keys=1)
+        sub = order[:cap]
+        rank = jnp.cumsum(unresolved.astype(jnp.int32)) - 1  # global -> sub slot
+
+        g_succ = succ[sub]
+        g_un = unresolved[sub]
+        # Full-grid resolution state at each sub cell's successor — one
+        # packed (cap, 4) subset gather.
+        full_pack = jnp.stack(
+            [resolved_f.astype(jnp.float32), dist_f, steps_f, absorber_f],
+            axis=-1,
+        )
+        at_succ = full_pack[g_succ]
+        succ_resolved = at_succ[:, 0] > 0
+
+        sub_step = jnp.where(g_un, stepd.reshape(-1)[sub], 0.0)
+        k = jnp.arange(cap, dtype=jnp.int32)
+        # Absorbed at init: junk (already-resolved) slot, or a walker whose
+        # successor is resolved.  Absorbed slots SELF-LOOP WITH ZERO EDGE
+        # WEIGHT; their actual resolution lives in the static r_* arrays so
+        # repeated composition cannot double-count it.
+        absorbed0 = (~g_un) | succ_resolved
+        r_dist = jnp.where(
+            g_un, sub_step + at_succ[:, 1], dist_f[sub]
+        )
+        r_steps = jnp.where(g_un, 1.0 + at_succ[:, 2], steps_f[sub])
+        r_abs = jnp.where(g_un, at_succ[:, 3], absorber_f[sub])
+
+        s_succ = jnp.where(absorbed0, k, jnp.clip(rank[g_succ], 0, cap - 1))
+        e_dist = jnp.where(absorbed0, 0.0, sub_step)
+        e_steps = jnp.where(absorbed0, 0.0, 1.0)
+
+        pack = jnp.stack([s_succ.astype(jnp.float32), e_dist, e_steps], axis=-1)
+
+        def dbl(p, _):
+            cur = p[:, 0].astype(jnp.int32)
+            nxt = p[cur]  # one packed (cap, 3) gather per round
+            return jnp.stack(
+                [nxt[:, 0], p[:, 1] + nxt[:, 1], p[:, 2] + nxt[:, 2]], axis=-1
+            ), None
+
+        pack, _ = jax.lax.scan(dbl, pack, None, length=_doubling_rounds(max_steps))
+
+        # Converged iff the chain reached an init-absorbed slot (paths that
+        # should land within max_steps always converge: 2^rounds >= max_steps
+        # and longer paths are NaN by the cap anyway).
+        final_slot = pack[:, 0].astype(jnp.int32)
+        chain_done = absorbed0[final_slot]
+        write = g_un & chain_done
+        r_at_final = jnp.stack([r_dist, r_steps, r_abs], axis=-1)[final_slot]
+        dist_f = dist_f.at[sub].set(
+            jnp.where(write, pack[:, 1] + r_at_final[:, 0], dist_f[sub])
+        )
+        steps_f = steps_f.at[sub].set(
+            jnp.where(write, pack[:, 2] + r_at_final[:, 1], steps_f[sub])
+        )
+        new_abs = jnp.where(write, r_at_final[:, 2], absorber_f[sub])
+        absorber_f = absorber_f.at[sub].set(new_abs)
+        res_f = resolved_f.at[sub].set(resolved_f[sub] | write)
+        riv_f = riverf_f.at[sub].set(
+            jnp.where(
+                write,
+                is_river[jnp.clip(new_abs.astype(jnp.int32), 0, n - 1)],
+                riverf_f[sub],
+            )
+        )
+        return res_f, riv_f, dist_f, steps_f, absorber_f
+
+    def no_phase2(args):
+        return tuple(a.reshape(-1) for a in args)
+
+    resolved_f, riverf_f, dist_f, steps_f, absorber_f = jax.lax.cond(
+        jnp.any(unresolved),
+        phase2,
+        no_phase2,
+        (resolved, riverf, dist, steps, absorber),
+    )
+
+    landed = resolved_f & riverf_f & (steps_f <= max_steps)
+    fdist = jnp.where(landed, dist_f, jnp.float32(NODATA))
+    indices = jnp.where(landed, absorber_f.astype(jnp.int32), jnp.int32(NODATA))
+    return fdist.reshape(rows, cols), indices.reshape(rows, cols)
+
+
+def flow_distance_index(fdr, river, px, max_steps=FLOW_MAX_STEPS, method="hybrid"):
+    """Flow distance + river-cell flat index for a whole grid on one device.
+
+    Returns (fdist float32, indices int32).  method='hybrid' (default) is the
+    frontier+compacted-doubling engine; 'doubling' is plain pointer jumping.
+    """
+    rows, cols = fdr.shape
+    n = rows * cols
+    if method == "doubling" or n >= _F32_IDX_LIMIT:
+        return _flow_doubling(fdr, river, px, max_steps)
+    cap = min(n, max(1024, n // 8))
+    return _flow_hybrid(fdr, river, px, max_steps, cap)
 
 
 def hand_calculator(dem, indices, nodata=NODATA):

@@ -1,0 +1,72 @@
+"""Terrain derivation extras: D8 flow direction and flow accumulation.
+
+The reference *consumes* fdr/fac rasters produced by external GIS tooling;
+these ops close the loop so the whole pipeline can run from a DEM alone
+(BASELINE.json config 3: "D8 flow direction + HAND").
+
+Flow accumulation is the classically-serial step (upstream counts along the
+drainage tree).  TPU-native recast in O(log D) depth for drainage diameter D:
+level-doubling with scatter-add —
+
+    F_{j+1} = F_j + scatter_add(F_j, by=succ_j);  succ_{j+1} = succ_j[succ_j]
+
+where F_j[c] counts walkers (one per cell) whose first 2^j path positions
+include c.  Terminal cells chain to a single virtual sink so absorbed walkers
+stop contributing.  For an acyclic D8 field (any steepest-descent fdr) this
+yields exactly the strict upstream-cell count the reference's fac rasters
+use (fac==0 on ridges, TWI's max(fac,1) guard, topoindexes.py:255).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from descriptools_tpu.constants import NODATA
+from descriptools_tpu.d8 import d8_flow_direction, successor  # re-export d8
+
+
+def _levels(max_path):
+    k = 0
+    while (1 << k) < max_path:
+        k += 1
+    return k
+
+
+@partial(jax.jit, static_argnames=("max_path",))
+def flow_accumulation(fdr, max_path=1 << 15):
+    """Strict upstream-cell count per cell (int32).
+
+    ``max_path`` bounds the longest resolvable drainage path (log2 levels of
+    doubling).  Cells on flow cycles (impossible for steepest-descent fdr)
+    accumulate lap-multiplied counts — garbage in, garbage out.
+    """
+    rows, cols = fdr.shape
+    n = rows * cols
+    succ, _, in_bounds, valid = successor(fdr, rows, cols)
+    succ = succ.reshape(-1)
+    ok = (in_bounds & valid).reshape(-1)
+    # Virtual sink at index n: terminals chain there, sink self-loops.
+    sink = jnp.int32(n)
+    succ = jnp.where(ok, succ, sink)
+    succ = jnp.concatenate([succ, jnp.array([sink], jnp.int32)])
+
+    f = jnp.zeros(n + 1, jnp.int32).at[succ].add(1)
+    f = f.at[n].set(0)
+
+    def body(carry, _):
+        f, succ = carry
+        f = f.at[succ].add(f).at[n].set(0)
+        succ = succ[succ]
+        return (f, succ), None
+
+    (f, _), _ = jax.lax.scan(body, (f, succ), None, length=_levels(max_path))
+    return f[:n].reshape(rows, cols)
+
+
+def derive_terrain(dem, nodata=NODATA, max_path=1 << 15):
+    """(fdr, fac) derived from a DEM: steepest-descent D8 + accumulation."""
+    fdr = d8_flow_direction(dem, nodata=nodata)
+    fac = flow_accumulation(fdr, max_path=max_path)
+    fac = jnp.where(jnp.asarray(dem) == nodata, jnp.int32(nodata), fac)
+    return fdr, fac

@@ -54,3 +54,11 @@ def test_downslope_terminal_and_nodata():
     # (0,1)=start... threshold not reached, step target (0,2) is NoData ->
     # stop at start with dist 0 -> result 0.
     assert got[0, 1] == 0.0
+
+
+@pytest.mark.parametrize("ed", [5.0, 1.0])
+def test_jacobi_equals_descent(basin, ed):
+    dem, fdr, _, _ = basin
+    a = np.asarray(downslope(dem, fdr, PX, ed, method="jacobi"))
+    b = np.asarray(downslope(dem, fdr, PX, ed, method="descent"))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)

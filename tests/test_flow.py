@@ -92,3 +92,11 @@ def test_hand_clamps_negative_to_zero():
     np.testing.assert_array_equal(hand, want)
     assert hand[1, 0] == NODATA  # idx nodata
     assert (hand[hand != NODATA] >= 0).all()
+
+
+def test_hybrid_equals_doubling(basin):
+    dem, fdr, river, _ = basin
+    d1, i1 = flow_distance_index(fdr, river, PX, method="hybrid")
+    d2, i2 = flow_distance_index(fdr, river, PX, method="doubling")
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-4, atol=1e-2)
