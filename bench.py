@@ -11,7 +11,10 @@ vs_baseline = speedup vs the same compiled suite on one host CPU core-set
              (the reference publishes no numbers — BASELINE.md defines the
              CPU wall-clock as the speedup denominator; numba is unavailable
              here so the measured host-CPU run of the identical program is
-             the honest stand-in).
+             the honest stand-in; it is cached per git revision).
+
+Extra configs (BASELINE.json 2-5 analogues): ``python bench.py --synthetic
+4096`` benches a synthetic 4096^2 basin instead of the bundled one.
 """
 
 import json
@@ -24,8 +27,8 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 EXAMPLE = "/root/reference/Example"
-WARMUP = 2
-ITERS = 5
+WARMUP = 1
+ITERS = 3
 
 
 def _time_suite(device, dem, fdr, fac, river, cfg):
@@ -53,35 +56,76 @@ def _time_suite(device, dem, fdr, fac, river, cfg):
     return float(np.median(times))
 
 
+def _inputs():
+    if len(sys.argv) >= 3 and sys.argv[1] == "--synthetic":
+        from descriptools_tpu.utils.synthetic import synthetic_basin
+
+        size = int(sys.argv[2])
+        dem, fdr, river, fac = synthetic_basin(size, size, seed=0)
+        return (
+            dem.astype(np.int32), fdr, fac.astype(np.int32), river,
+            f"full_descriptor_suite_synthetic_{size}",
+        )
+    from descriptools_tpu.io import load_example_inputs
+
+    data = load_example_inputs(EXAMPLE)
+    return (
+        data["dem"].astype(np.int32), data["fdr"],
+        data["fac"].astype(np.int32), data["river"],
+        "full_descriptor_suite_bundled_basin",
+    )
+
+
 def main():
     import jax
 
-    from descriptools_tpu.io import load_example_inputs
     from descriptools_tpu.pipeline import PipelineConfig
 
-    data = load_example_inputs(EXAMPLE)
     cfg = PipelineConfig()
-    dem = data["dem"].astype(np.int32)
-    fdr = data["fdr"]
-    fac = data["fac"].astype(np.int32)
-    river = data["river"]
+    dem, fdr, fac, river, metric = _inputs()
     cells = dem.size
 
     accel = jax.devices()[0]
     t_accel = _time_suite(accel, dem, fdr, fac, river, cfg)
     gps = cells / t_accel
 
+    # Host-CPU denominator, cached per code revision (the measurement is
+    # deterministic and slow; re-measure only when the suite changes).
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".jax_cache", "bench_cpu_%s.json" % metric)
+    rev = None
     try:
-        cpu = jax.devices("cpu")[0]
-        t_cpu = _time_suite(cpu, dem, fdr, fac, river, cfg)
-        vs = t_cpu / t_accel
+        import subprocess
+
+        rev = subprocess.run(
+            ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip()
     except Exception:
-        vs = 1.0
+        pass
+    t_cpu = None
+    try:
+        with open(cache_path) as fh:
+            cached = json.load(fh)
+        if cached.get("rev") == rev and rev:
+            t_cpu = cached["t_cpu"]
+    except Exception:
+        pass
+    if t_cpu is None:
+        try:
+            cpu = jax.devices("cpu")[0]
+            t_cpu = _time_suite(cpu, dem, fdr, fac, river, cfg)
+            os.makedirs(os.path.dirname(cache_path), exist_ok=True)
+            with open(cache_path, "w") as fh:
+                json.dump({"rev": rev, "t_cpu": t_cpu}, fh)
+        except Exception:
+            t_cpu = t_accel
+    vs = t_cpu / t_accel
 
     print(
         json.dumps(
             {
-                "metric": "full_descriptor_suite_bundled_basin",
+                "metric": metric,
                 "value": round(gps, 1),
                 "unit": "grid-points/s/chip",
                 "vs_baseline": round(vs, 3),

@@ -28,11 +28,37 @@ def read_raster(path):
     return np.array(Image.open(path))
 
 
-def write_raster(path, array):
-    """Write a single-band raster as TIFF (no georeferencing tags)."""
+# GeoTIFF tags worth carrying over from a template raster (pixel scale,
+# tiepoints, CRS keys, GDAL nodata) — the reference copies georeferencing by
+# reusing rasterio metadata of the input DEM (Example/example.py:201-204).
+_GEO_TAGS = (33550, 33922, 34264, 34735, 34736, 34737, 42112, 42113)
+
+
+def write_raster(path, array, template=None, nodata=None):
+    """Write a single-band raster as TIFF.
+
+    With ``template`` (path of a reference GeoTIFF, e.g. the input DEM), the
+    georeferencing tags are copied over so GIS tools place the output
+    correctly; ``nodata`` sets the GDAL nodata tag.
+    """
     if not _HAS_PIL:
         raise RuntimeError("PIL is required for TIFF I/O")
-    Image.fromarray(np.asarray(array)).save(path)
+    from PIL.TiffImagePlugin import ImageFileDirectory_v2
+
+    im = Image.fromarray(np.asarray(array))
+    tiffinfo = None
+    if template is not None:
+        src = Image.open(template)
+        tiffinfo = ImageFileDirectory_v2()
+        for tag in _GEO_TAGS:
+            if tag in src.tag_v2:
+                tiffinfo[tag] = src.tag_v2[tag]
+        if nodata is not None:
+            tiffinfo[42113] = str(nodata)
+    if tiffinfo is not None:
+        im.save(path, tiffinfo=tiffinfo)
+    else:
+        im.save(path)
 
 
 def normalise_nodata(arr, cast=None, nodata=NODATA):

@@ -73,11 +73,14 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps):
     thresh = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr))
 
-    # Lookahead state: D_t (distance of t steps), Z_t (z at P_t), T_t
-    # (terminal at P_t).  t=0: self.
+    # Lookahead state, two arrays per sweep: D_t (distance of t steps) and
+    # Zt_t = z at P_t with the terminal flag folded in as a -2^20 offset
+    # (exact for integer-valued elevations: f32 ulp at 2^20 is 1/16).  t=0:
+    # self.
+    _OFF = jnp.float32(1 << 20)
+    _HALF = jnp.float32(1 << 19)
+    Zt0 = jnp.where(terminal, z - _OFF, z)
     D0 = jnp.zeros_like(z)
-    Z0 = z
-    T0 = terminal
     stopped0 = terminal  # stop at k=0 when the start itself is terminal
     res_d0 = jnp.zeros_like(z)
     res_z0 = z
@@ -86,25 +89,33 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps):
         stopped, *_rest, t = carry
         return jnp.any(~stopped) & (t < max_steps)
 
-    def body(carry):
-        stopped, D, Z, T, res_d, res_z, t = carry
-        pD, pZ, pT = pull8(fdr_eff, [D, Z, T], [0.0, 0.0, False])
-        D = stepd + pD
-        Z = pZ
-        T = T | pT  # saturates once the path hits a terminal
-        key = jnp.where(T, _NEG_INF, Z)
-        hit = (~stopped) & (key <= thresh)
-        res_d = jnp.where(hit, D, res_d)
-        res_z = jnp.where(hit, Z, res_z)
-        return (stopped | hit, D, Z, T, res_d, res_z, t + 1)
+    # Unrolled sweeps: XLA fuses the chained shifted-select pulls, so eight
+    # walk steps cost little more HBM traffic than one.
+    UNROLL = 8
 
-    carry = (stopped0, D0, Z0, T0, res_d0, res_z0, jnp.array(0, jnp.int32))
-    stopped, D, Z, T, res_d, res_z, _t = jax.lax.while_loop(cond, body, carry)
+    def body(carry):
+        stopped, D, Zt, res_d, res_z, t = carry
+        for k in range(UNROLL):
+            live = t + k < max_steps
+            pD, pZt = pull8(fdr_eff, [D, Zt], [0.0, 0.0])
+            D = jnp.where(live, stepd + pD, D)
+            Zt = jnp.where(live, pZt, Zt)
+            # Offset-encoded key: terminal positions sit ~2^20 below any
+            # real elevation, so one compare catches both stop conditions.
+            hit = live & (~stopped) & (Zt <= thresh)
+            z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+            res_d = jnp.where(hit, D, res_d)
+            res_z = jnp.where(hit, z_at, res_z)
+            stopped = stopped | hit
+        return (stopped, D, Zt, res_d, res_z, t + UNROLL)
+
+    carry = (stopped0, D0, Zt0, res_d0, res_z0, jnp.array(0, jnp.int32))
+    stopped, D, Zt, res_d, res_z, _t = jax.lax.while_loop(cond, body, carry)
 
     # Cap: unstopped cells take the partial result at the lookahead horizon
     # (identical formula, downslope.py:303-312).
     res_d = jnp.where(stopped, res_d, D)
-    res_z = jnp.where(stopped, res_z, Z)
+    res_z = jnp.where(stopped, res_z, jnp.where(Zt < -_HALF, Zt + _OFF, Zt))
 
     out = jnp.where(res_d == 0.0, 0.0, (z - res_z) / res_d)
     return jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)

@@ -112,31 +112,42 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
         resolved0, self_idx.reshape(rows, cols).astype(jnp.float32), 0.0
     )
 
+    n_i32 = jnp.array(n, jnp.int32)
+
     def cond(carry):
-        resolved, *_rest, newly, t = carry
-        unresolved = jnp.sum(~resolved)
-        return (unresolved > cap) & (newly > 0) & (t < max_steps)
+        *_rest, count, newly, t = carry
+        return ((n_i32 - count) > cap) & (newly > 0) & (t < max_steps)
+
+    # Unrolled sweeps: XLA fuses chained shifted-select pulls, amortizing
+    # HBM traffic over several frontier steps.  One count reduction per body.
+    UNROLL = 4
 
     def body(carry):
-        resolved, riverf, dist, steps, absorber, _newly, t = carry
-        p_res, p_riv, p_d, p_s, p_a = pull8(
-            fdr_eff,
-            [resolved, riverf, dist, steps, absorber],
-            [False, False, 0.0, 0.0, 0.0],
+        resolved, riverf, dist, steps, absorber, count, _newly, t = carry
+        for _ in range(UNROLL):
+            p_res, p_riv, p_d, p_s, p_a = pull8(
+                fdr_eff,
+                [resolved, riverf, dist, steps, absorber],
+                [False, False, 0.0, 0.0, 0.0],
+            )
+            hit = (~resolved) & p_res
+            dist = jnp.where(hit, stepd + p_d, dist)
+            steps = jnp.where(hit, 1.0 + p_s, steps)
+            absorber = jnp.where(hit, p_a, absorber)
+            riverf = jnp.where(hit, p_riv, riverf)
+            resolved = resolved | hit
+        count_new = jnp.sum(resolved).astype(jnp.int32)
+        return (
+            resolved, riverf, dist, steps, absorber,
+            count_new, count_new - count, t + UNROLL,
         )
-        hit = (~resolved) & p_res
-        dist = jnp.where(hit, stepd + p_d, dist)
-        steps = jnp.where(hit, 1.0 + p_s, steps)
-        absorber = jnp.where(hit, p_a, absorber)
-        riverf = jnp.where(hit, p_riv, riverf)
-        resolved = resolved | hit
-        return (resolved, riverf, dist, steps, absorber, jnp.sum(hit), t + 1)
 
     carry = (
         resolved0, river0, dist0, steps0, absorber0,
-        jnp.array(1, jnp.int32), jnp.array(0, jnp.int32),
+        jnp.sum(resolved0).astype(jnp.int32), jnp.array(1, jnp.int32),
+        jnp.array(0, jnp.int32),
     )
-    resolved, riverf, dist, steps, absorber, _newly, _t = jax.lax.while_loop(
+    resolved, riverf, dist, steps, absorber, _c, _newly, _t = jax.lax.while_loop(
         cond, body, carry
     )
 
@@ -183,14 +194,27 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
 
         pack = jnp.stack([s_succ.astype(jnp.float32), e_dist, e_steps], axis=-1)
 
-        def dbl(p, _):
+        rounds = _doubling_rounds(max_steps)
+
+        def dbl_cond(state):
+            p, r, done = state
+            return (~done) & (r < rounds)
+
+        def dbl_body(state):
+            p, r, _ = state
             cur = p[:, 0].astype(jnp.int32)
             nxt = p[cur]  # one packed (cap, 3) gather per round
-            return jnp.stack(
+            p = jnp.stack(
                 [nxt[:, 0], p[:, 1] + nxt[:, 1], p[:, 2] + nxt[:, 2]], axis=-1
-            ), None
+            )
+            # Early exit once every live chain has reached an absorbed slot
+            # (cycle-only residues cannot converge; the round cap bounds them).
+            done = jnp.all(absorbed0[p[:, 0].astype(jnp.int32)] | ~g_un)
+            return (p, r + 1, done)
 
-        pack, _ = jax.lax.scan(dbl, pack, None, length=_doubling_rounds(max_steps))
+        pack, _r, _d = jax.lax.while_loop(
+            dbl_cond, dbl_body, (pack, jnp.array(0, jnp.int32), jnp.array(False))
+        )
 
         # Converged iff the chain reached an init-absorbed slot (paths that
         # should land within max_steps always converge: 2^rounds >= max_steps
@@ -261,6 +285,32 @@ def hand_calculator(dem, indices, nodata=NODATA):
     hand = jnp.where((flat != nodata) & (idx != nodata), hand, nodata)
     hand = jnp.where((hand < 0) & (hand != nodata), 0, hand)
     return hand.reshape(dem.shape)
+
+
+def hand_and_river_fac(dem, fac, indices, nodata=NODATA):
+    """HAND and river-gathered fac in ONE packed payload gather.
+
+    Gather cost on TPU is per index, so fetching (dem, fac) rows at the
+    river indices costs the same as fetching either alone.  Semantics match
+    hand_calculator (flowhand.py:414-442) and river_accumulation
+    (gfi.py:118-147) exactly, including the fac.flat[0] fallback quirk.
+    """
+    dem = jnp.asarray(dem)
+    fac = jnp.asarray(fac)
+    flat_d = dem.reshape(-1)
+    flat_f = fac.reshape(-1)
+    idx = jnp.asarray(indices).reshape(-1)
+    safe = jnp.where(idx == nodata, 0, idx)
+    packed = jnp.stack(
+        [flat_d.astype(jnp.float32), flat_f.astype(jnp.float32)], axis=-1
+    )[safe]
+    dem_at = packed[:, 0].astype(dem.dtype)
+    fac_at = packed[:, 1]
+    hand = flat_d - dem_at
+    hand = jnp.where((flat_d != nodata) & (idx != nodata), hand, nodata)
+    hand = jnp.where((hand < 0) & (hand != nodata), 0, hand)
+    river_fac = jnp.where(idx != nodata, fac_at, flat_f[0].astype(jnp.float32))
+    return hand.reshape(dem.shape), river_fac.reshape(dem.shape)
 
 
 @partial(jax.jit, static_argnames=("max_steps", "px"))

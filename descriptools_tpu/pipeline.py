@@ -22,13 +22,13 @@ from descriptools_tpu import evaluation
 from descriptools_tpu.constants import DOWNSLOPE_MAX_STEPS, FLOW_MAX_STEPS, NODATA
 from descriptools_tpu.ops import (
     downslope,
-    flow_hand_index,
-    gfi_calculator,
     ln_hl_h,
     slope,
     topographic_index,
     modified_topographic_index,
 )
+from descriptools_tpu.ops.flow import flow_distance_index, hand_and_river_fac
+from descriptools_tpu.ops.gfi import gfi as _gfi
 
 
 @dataclass(frozen=True)
@@ -61,10 +61,9 @@ def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
     down = downslope(
         dem_f, fdr, cfg.px, cfg.elevation_difference, max_steps=cfg.downslope_max_steps
     )
-    fdist, indices, hand = flow_hand_index(
-        dem, fdr, river, cfg.px, max_steps=cfg.flow_max_steps
-    )
-    geofi = gfi_calculator(hand, fac, indices, cfg.n_gfi, cfg.b_gfi, cfg.px)
+    fdist, indices = flow_distance_index(fdr, river, cfg.px, max_steps=cfg.flow_max_steps)
+    hand, river_fac = hand_and_river_fac(dem, fac, indices)
+    geofi = _gfi(hand, river_fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
     lnhlh = ln_hl_h(hand, fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
     return dict(
         slope=sl,
