@@ -92,27 +92,45 @@ def _flow_doubling(fdr, river, px, max_steps):
     return fdist.reshape(rows, cols), indices.reshape(rows, cols)
 
 
-@partial(jax.jit, static_argnames=("max_steps", "px", "cap"))
-def _flow_hybrid(fdr, river, px, max_steps, cap):
+def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=None):
+    """Generic hybrid resolver: every cell walks its D8 path to the nearest
+    absorbing cell, returning (resolved, dist, steps, absorber, tag).
+
+    - ``absorbing``: flat bool — walk endpoints (self-classified).
+    - ``stepd``: flat f32 step cost per cell (0 at absorbing cells).
+    - ``succ``: flat int32 D8 successor (self where invalid).
+    - ``tag0``: optional flat f32 payload defined at absorbing cells,
+      carried to every cell that resolves there (e.g. a status code).
+
+    Phase 1 is gather-free frontier propagation (pull8 sweeps); phase 2 is
+    compacted successor doubling over the residue (see module docstring).
+    Used by the single-device flow engine AND the per-shard local phase of
+    the boundary-graph reduction.  Requires n <= 2^24 (f32-exact indices).
+    """
     rows, cols = fdr.shape
     n = rows * cols
-    succ, step, absorbing, absorb_nan, is_river = flow_states(fdr, river, rows, cols)
     self_idx = jnp.arange(n, dtype=jnp.int32)
-    stepd = jnp.where(absorbing, 0.0, step * jnp.float32(px)).reshape(rows, cols)
+    absorbing2d = absorbing.reshape(rows, cols)
+    stepd2d = stepd.reshape(rows, cols)
+    if tag0 is None:
+        tag0 = jnp.zeros(n, jnp.float32)
 
     # Pulls must not cross absorbing cells: zero their direction so pull8
     # keeps their own (final) values.
-    fdr_eff = jnp.where(absorbing.reshape(rows, cols), 0, jnp.asarray(fdr))
+    fdr_eff = jnp.where(absorbing2d, 0, jnp.asarray(fdr))
 
-    resolved0 = absorbing.reshape(rows, cols)
-    river0 = is_river.reshape(rows, cols)
-    dist0 = jnp.zeros((rows, cols), jnp.float32)
-    steps0 = jnp.zeros((rows, cols), jnp.float32)
+    resolved0 = absorbing2d
+    tag2d0 = tag0.reshape(rows, cols).astype(jnp.float32)
+    # Derive zero-carries from inputs so shard_map's varying-axis tracking
+    # sees consistent types between init and body outputs.
+    dist0 = stepd2d * 0.0
+    steps0 = stepd2d * 0.0
     absorber0 = jnp.where(
         resolved0, self_idx.reshape(rows, cols).astype(jnp.float32), 0.0
     )
 
     n_i32 = jnp.array(n, jnp.int32)
+    stepd = stepd2d
 
     def cond(carry):
         *_rest, count, newly, t = carry
@@ -123,31 +141,31 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
     UNROLL = 4
 
     def body(carry):
-        resolved, riverf, dist, steps, absorber, count, _newly, t = carry
+        resolved, tag, dist, steps, absorber, count, _newly, t = carry
         for _ in range(UNROLL):
-            p_res, p_riv, p_d, p_s, p_a = pull8(
+            p_res, p_tag, p_d, p_s, p_a = pull8(
                 fdr_eff,
-                [resolved, riverf, dist, steps, absorber],
-                [False, False, 0.0, 0.0, 0.0],
+                [resolved, tag, dist, steps, absorber],
+                [False, 0.0, 0.0, 0.0, 0.0],
             )
             hit = (~resolved) & p_res
             dist = jnp.where(hit, stepd + p_d, dist)
             steps = jnp.where(hit, 1.0 + p_s, steps)
             absorber = jnp.where(hit, p_a, absorber)
-            riverf = jnp.where(hit, p_riv, riverf)
+            tag = jnp.where(hit, p_tag, tag)
             resolved = resolved | hit
         count_new = jnp.sum(resolved).astype(jnp.int32)
         return (
-            resolved, riverf, dist, steps, absorber,
+            resolved, tag, dist, steps, absorber,
             count_new, count_new - count, t + UNROLL,
         )
 
+    count0 = jnp.sum(resolved0).astype(jnp.int32)
     carry = (
-        resolved0, river0, dist0, steps0, absorber0,
-        jnp.sum(resolved0).astype(jnp.int32), jnp.array(1, jnp.int32),
-        jnp.array(0, jnp.int32),
+        resolved0, tag2d0, dist0, steps0, absorber0,
+        count0, count0 * 0 + 1, count0 * 0,
     )
-    resolved, riverf, dist, steps, absorber, _c, _newly, _t = jax.lax.while_loop(
+    resolved, tag, dist, steps, absorber, _c, _newly, _t = jax.lax.while_loop(
         cond, body, carry
     )
 
@@ -155,7 +173,7 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
     unresolved = (~resolved).reshape(-1)
 
     def phase2(args):
-        resolved_f, riverf_f, dist_f, steps_f, absorber_f = (
+        resolved_f, tag_f, dist_f, steps_f, absorber_f = (
             a.reshape(-1) for a in args
         )
         # Compact: unresolved first (stable sort by flag keeps cell order).
@@ -169,7 +187,7 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
         # Full-grid resolution state at each sub cell's successor — one
         # packed (cap, 4) subset gather.
         full_pack = jnp.stack(
-            [resolved_f.astype(jnp.float32), dist_f, steps_f, absorber_f],
+            [resolved_f.astype(jnp.float32), dist_f, steps_f, absorber_f, tag_f],
             axis=-1,
         )
         at_succ = full_pack[g_succ]
@@ -187,6 +205,7 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
         )
         r_steps = jnp.where(g_un, 1.0 + at_succ[:, 2], steps_f[sub])
         r_abs = jnp.where(g_un, at_succ[:, 3], absorber_f[sub])
+        r_tag = jnp.where(g_un, at_succ[:, 4], tag_f[sub])
 
         s_succ = jnp.where(absorbed0, k, jnp.clip(rank[g_succ], 0, cap - 1))
         e_dist = jnp.where(absorbed0, 0.0, sub_step)
@@ -212,8 +231,9 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
             done = jnp.all(absorbed0[p[:, 0].astype(jnp.int32)] | ~g_un)
             return (p, r + 1, done)
 
+        zero = jnp.sum(g_un).astype(jnp.int32) * 0  # varying-typed zero
         pack, _r, _d = jax.lax.while_loop(
-            dbl_cond, dbl_body, (pack, jnp.array(0, jnp.int32), jnp.array(False))
+            dbl_cond, dbl_body, (pack, zero, zero > 0)
         )
 
         # Converged iff the chain reached an init-absorbed slot (paths that
@@ -222,7 +242,7 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
         final_slot = pack[:, 0].astype(jnp.int32)
         chain_done = absorbed0[final_slot]
         write = g_un & chain_done
-        r_at_final = jnp.stack([r_dist, r_steps, r_abs], axis=-1)[final_slot]
+        r_at_final = jnp.stack([r_dist, r_steps, r_abs, r_tag], axis=-1)[final_slot]
         dist_f = dist_f.at[sub].set(
             jnp.where(write, pack[:, 1] + r_at_final[:, 0], dist_f[sub])
         )
@@ -232,28 +252,39 @@ def _flow_hybrid(fdr, river, px, max_steps, cap):
         new_abs = jnp.where(write, r_at_final[:, 2], absorber_f[sub])
         absorber_f = absorber_f.at[sub].set(new_abs)
         res_f = resolved_f.at[sub].set(resolved_f[sub] | write)
-        riv_f = riverf_f.at[sub].set(
-            jnp.where(
-                write,
-                is_river[jnp.clip(new_abs.astype(jnp.int32), 0, n - 1)],
-                riverf_f[sub],
-            )
-        )
-        return res_f, riv_f, dist_f, steps_f, absorber_f
+        tg_f = tag_f.at[sub].set(jnp.where(write, r_at_final[:, 3], tag_f[sub]))
+        return res_f, tg_f, dist_f, steps_f, absorber_f
 
     def no_phase2(args):
         return tuple(a.reshape(-1) for a in args)
 
-    resolved_f, riverf_f, dist_f, steps_f, absorber_f = jax.lax.cond(
+    resolved_f, tag_f, dist_f, steps_f, absorber_f = jax.lax.cond(
         jnp.any(unresolved),
         phase2,
         no_phase2,
-        (resolved, riverf, dist, steps, absorber),
+        (resolved, tag, dist, steps, absorber),
+    )
+    return (
+        resolved_f,
+        dist_f,
+        steps_f,
+        absorber_f.astype(jnp.int32),
+        tag_f,
     )
 
-    landed = resolved_f & riverf_f & (steps_f <= max_steps)
-    fdist = jnp.where(landed, dist_f, jnp.float32(NODATA))
-    indices = jnp.where(landed, absorber_f.astype(jnp.int32), jnp.int32(NODATA))
+
+@partial(jax.jit, static_argnames=("max_steps", "px", "cap"))
+def _flow_hybrid(fdr, river, px, max_steps, cap):
+    rows, cols = fdr.shape
+    succ, step, absorbing, absorb_nan, is_river = flow_states(fdr, river, rows, cols)
+    stepd = jnp.where(absorbing, 0.0, step * jnp.float32(px))
+    resolved, dist, steps, absorber, tag = resolve_absorbing_walk(
+        fdr, absorbing, stepd, succ, max_steps, cap,
+        tag0=is_river.astype(jnp.float32),
+    )
+    landed = resolved & (tag > 0) & (steps <= max_steps)
+    fdist = jnp.where(landed, dist, jnp.float32(NODATA))
+    indices = jnp.where(landed, absorber, jnp.int32(NODATA))
     return fdist.reshape(rows, cols), indices.reshape(rows, cols)
 
 
@@ -265,7 +296,7 @@ def flow_distance_index(fdr, river, px, max_steps=FLOW_MAX_STEPS, method="hybrid
     """
     rows, cols = fdr.shape
     n = rows * cols
-    if method == "doubling" or n >= _F32_IDX_LIMIT:
+    if method == "doubling" or n > _F32_IDX_LIMIT:
         return _flow_doubling(fdr, river, px, max_steps)
     cap = min(n, max(1024, n // 8))
     return _flow_hybrid(fdr, river, px, max_steps, cap)

@@ -42,12 +42,18 @@ def _ceil_log2(n):
     return k
 
 
-def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px):
+def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px, max_steps=20000):
     """Phase 1: resolve every cell of a (h, w) block locally.
+
+    Built on ops.flow.resolve_absorbing_walk (gather-free frontier sweeps +
+    compacted doubling) with three absorbing roles {RIVER, NAN, EXIT}; one
+    packed payload gather at the absorber finishes the records.
 
     Returns flat per-cell arrays: status, dist, steps, tgy, tgx (exit target,
     global coords), ridx (river global flat index), rz, rfac (payloads).
     """
+    from descriptools_tpu.ops.flow import resolve_absorbing_walk
+
     z = jnp.asarray(dem, jnp.float32)
     dy, dx, step, valid = decode(fdr)
     yy = jnp.arange(h, dtype=jnp.int32)[:, None]
@@ -76,35 +82,42 @@ def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px):
     role_f = role.reshape(-1)
     self_idx = jnp.arange(n, dtype=jnp.int32)
     succ = jnp.where(role_f == STEP, (ty * w + tx).reshape(-1), self_idx)
-    dist = jnp.where(role_f == STEP, (step * jnp.float32(px)).reshape(-1), 0.0)
-    steps = jnp.where(role_f == STEP, 1, 0).astype(jnp.int32)
+    stepd_all = (step * jnp.float32(px)).reshape(-1)
+    stepd = jnp.where(role_f == STEP, stepd_all, 0.0)
+    absorbing = role_f != STEP
 
-    for _ in range(_ceil_log2(n) + 1):
-        dist = dist + dist[succ]
-        steps = steps + steps[succ]
-        succ = succ[succ]
+    cap = min(n, max(1024, n // 8))
+    resolved, dist, steps, final, tag = resolve_absorbing_walk(
+        fdr, absorbing, stepd, succ, max_steps, cap,
+        tag0=role_f.astype(jnp.float32),
+    )
+    status = jnp.where(resolved, tag.astype(jnp.int32), NAN)
 
-    final = succ
-    role_final = role_f[final]
-    status = jnp.where(role_final == STEP, NAN, role_final)
+    # One packed payload gather at the absorbing cell: its out-step length
+    # (exit cells), its D8 offsets (for the exit target), and river payloads.
+    exit_d_all = jnp.where(role_f == EXIT, stepd_all, 0.0)
+    payload = jnp.stack(
+        [
+            exit_d_all,
+            dy.reshape(-1).astype(jnp.float32),
+            dx.reshape(-1).astype(jnp.float32),
+            z.reshape(-1),
+            jnp.asarray(fac).reshape(-1).astype(jnp.float32),
+        ],
+        axis=-1,
+    )[final]
 
-    # Exit records: the out-step of the final exit cell.
-    exit_d = jnp.where(role_f == EXIT, (step * jnp.float32(px)).reshape(-1), 0.0)
-    dist = dist + exit_d[final]
-    steps = steps + (role_final == EXIT).astype(jnp.int32)
-    tgy = gy.reshape(-1)[final]
-    tgx = gx.reshape(-1)[final]
-
-    # River payloads at the final cell.
+    dist = dist + payload[:, 0]
+    steps = (steps + (status == EXIT)).astype(jnp.int32)
     fy = final // w
     fx = final % w
+    tgy = iy * h + fy + payload[:, 1].astype(jnp.int32)
+    tgx = ix * w + fx + payload[:, 2].astype(jnp.int32)
     ridx = ((iy * h + fy) * C + (ix * w + fx)).astype(jnp.int32)
-    rz = z.reshape(-1)[final]
-    rfac = jnp.asarray(fac).reshape(-1).astype(jnp.float32)[final]
 
     return dict(
         status=status, dist=dist, steps=steps, tgy=tgy, tgx=tgx,
-        ridx=ridx, rz=rz, rfac=rfac,
+        ridx=ridx, rz=payload[:, 3], rfac=payload[:, 4],
     )
 
 
