@@ -85,8 +85,11 @@ def main():
     dem, fdr, fac, river, metric = _inputs()
     cells = dem.size
 
+    from dataclasses import replace
+
     accel = jax.devices()[0]
     t_accel = _time_suite(accel, dem, fdr, fac, river, cfg)
+    cfg = replace(cfg, engine="xla")  # host-CPU leg: no TPU pallas kernels
     gps = cells / t_accel
 
     # Host-CPU denominator, cached per code revision (the measurement is

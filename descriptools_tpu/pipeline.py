@@ -44,6 +44,15 @@ class PipelineConfig:
     river_threshold: int = 128000  # fac cells above this are river
     downslope_max_steps: int = DOWNSLOPE_MAX_STEPS
     flow_max_steps: int = FLOW_MAX_STEPS
+    # Walk-engine selection: "pallas" = multi-sweep VMEM kernels (TPU only),
+    # "xla" = whole-grid frontier engines, "auto" = pallas iff the default
+    # backend is a real TPU.
+    engine: str = "auto"
+
+    def resolve_engine(self):
+        if self.engine != "auto":
+            return self.engine
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
 @partial(jax.jit, static_argnames=("cfg",))
@@ -58,10 +67,22 @@ def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
     sl_rad = jnp.where(dem_f == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
     twi = topographic_index(fac, sl_rad, cfg.px)
     mtwi = modified_topographic_index(fac, sl_rad, cfg.px, cfg.n_topo)
-    down = downslope(
-        dem_f, fdr, cfg.px, cfg.elevation_difference, max_steps=cfg.downslope_max_steps
-    )
-    fdist, indices = flow_distance_index(fdr, river, cfg.px, max_steps=cfg.flow_max_steps)
+    if cfg.resolve_engine() == "pallas":
+        from descriptools_tpu.ops.pallas.walk import downslope_pallas, flow_pallas
+
+        down = downslope_pallas(
+            dem_f, fdr, cfg.px, cfg.elevation_difference,
+            max_steps=cfg.downslope_max_steps,
+        )
+        fdist, indices = flow_pallas(fdr, river, cfg.px, max_steps=cfg.flow_max_steps)
+    else:
+        down = downslope(
+            dem_f, fdr, cfg.px, cfg.elevation_difference,
+            max_steps=cfg.downslope_max_steps,
+        )
+        fdist, indices = flow_distance_index(
+            fdr, river, cfg.px, max_steps=cfg.flow_max_steps
+        )
     hand, river_fac = hand_and_river_fac(dem, fac, indices)
     geofi = _gfi(hand, river_fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
     lnhlh = ln_hl_h(hand, fac, cfg.n_gfi, cfg.b_gfi, cfg.px)

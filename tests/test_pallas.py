@@ -36,3 +36,27 @@ def test_fused_slope_twi_matches_pipeline(basin):
     sl_rad = np.where(dem == NODATA, NODATA, np.arctan(want_sl / 100))
     want_twi = np.asarray(topographic_index(fac, sl_rad.astype(np.float32), PX))
     np.testing.assert_allclose(twi, want_twi, rtol=2e-5, atol=1e-4)
+
+
+def test_downslope_pallas_matches_jacobi(basin):
+    from descriptools_tpu.ops.downslope import downslope
+    from descriptools_tpu.ops.pallas.walk import downslope_pallas
+
+    dem, fdr, _, _ = basin
+    got = np.asarray(
+        downslope_pallas(dem.astype(np.float32), fdr, PX, 5.0, max_steps=200,
+                         h=8, interpret=True)
+    )
+    want = np.asarray(downslope(dem.astype(np.float32), fdr, PX, 5.0, max_steps=200))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flow_pallas_matches_hybrid(basin):
+    from descriptools_tpu.ops.flow import flow_distance_index
+    from descriptools_tpu.ops.pallas.walk import flow_pallas
+
+    _, fdr, river, _ = basin
+    fd, idx = flow_pallas(fdr, river, PX, max_steps=400, h=8, interpret=True)
+    wfd, widx = flow_distance_index(fdr, river, PX, max_steps=400)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(wfd), rtol=1e-6, atol=1e-4)
