@@ -1,0 +1,340 @@
+"""Whole-grid VMEM-resident walk kernels: the speed-of-light tier.
+
+The blocked multi-sweep kernels (ops/pallas/walk.py) pay two taxes every
+sweep: the halo-window overlap (window/interior ~ 1.9x VPU work at
+BH=256/BW=512/H=64) and an HBM round-trip every H sweeps.  For grids whose
+walk state fits VMEM (the bundled 2178x1534 basin is ~13.4 MB per f32
+raster; v5e VMEM is 128 MB) neither tax is necessary: load the state once,
+run EVERY sweep to convergence inside a single kernel launch, write back
+once.
+
+Mosaic materialises full-array temporaries for vector expressions, so a
+naive whole-grid sweep needs ~25 grid-sized buffers (measured: 376 MB for
+the basin).  The kernels therefore keep only the *state* rasters grid-sized
+and run each sweep **in place over row bands**: band b is updated from
+
+    [ 8-row pre-sweep tail of band b-1 (carried) | band b | head of band b+1 ]
+
+— everything read is pre-sweep (own rows are read before the write, rows
+below are not yet processed, rows above come from the carried tail), so the
+update is bitwise-identical Jacobi while temporaries are band-sized.
+
+State-diet tricks relative to the blocked kernels:
+- no ``stepd`` raster: the per-cell step length is a per-direction constant
+  (px or px*sqrt2, slope.py:255) fused into the pull select-chain as a
+  constant add (same f32 operands, same add -> bitwise identical).
+- downslope carries a single ``res`` raster (the final ratio, NaN = still
+  walking) instead of (res_d, res_z): the ratio (z - z_at)/D is computed at
+  the freeze point with exactly the operands the XLA engine uses at the end
+  (ops/downslope.py `_downslope_jacobi`), so results stay bit-identical.
+
+Wraparound note: pltpu.roll is circular, but a wrapped read can only be
+*selected* by a cell whose fdr points off-grid, and every such cell is
+already absorbing/terminal (flow_states / _terminal_and_step mark global
+border exits), i.e. its direction mask is zeroed — the garbage lane is
+always discarded by the select.  The 8-row top/bottom pads keep band-edge
+wraps away from real rows.
+
+Reference semantics: downslope.py:434-532 (threshold walk),
+flowhand.py:565-846 (walk-to-river); see SURVEY §7 for the recast rationale.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from descriptools_tpu.constants import D8_CODES, D8_DX, D8_DY, D8_STEP, NODATA
+from descriptools_tpu.ops.pallas.walk import _OFF, _HALF, UNRES, _roll
+
+# Sweeps per convergence check (a full-grid reduction ~ one sweep's cost,
+# so checking every CHECK sweeps keeps the overhead ~1/CHECK).
+CHECK = 64
+FLOW_BAND = 256  # rows per in-place band; temporaries are (band+16, cols)
+DOWN_BAND = 128  # downslope holds 5 state rasters, so smaller temp bands
+PAD = 8  # inert rows above and below the grid
+
+VMEM_BYTES = 128 * 1024 * 1024
+_STATE_RASTERS = {"flow": 3, "downslope": 5}
+
+
+def fits_vmem(rows, cols, kind="downslope"):
+    """True when the whole-grid kernel's state + temp headroom fits VMEM."""
+    band = FLOW_BAND if kind == "flow" else DOWN_BAND
+    rp, cp = _align(rows, cols, band)
+    live = (_STATE_RASTERS[kind] + 2) * (rp + 2 * PAD) * cp * 4
+    return live <= VMEM_BYTES
+
+
+def _align(rows, cols, band):
+    return -(-rows // band) * band, -(-cols // 128) * 128
+
+
+def _pad(arr, rp, cp, fill):
+    """Pad to (PAD + rp + PAD, cp) with inert fill."""
+    r, c = arr.shape
+    return jnp.pad(
+        arr, ((PAD, PAD + rp - r), (0, cp - c)),
+        constant_values=jnp.asarray(fill, arr.dtype),
+    )
+
+
+def _pull_sel(masks, arr):
+    """pull8 on a band window — same select order as d8.pull8."""
+    east = _roll(arr, -1, 1)
+    west = _roll(arr, 1, 1)
+    by_dx = {-1: west, 0: arr, 1: east}
+    acc = arr
+    for m, dy, dx in zip(masks, D8_DY, D8_DX):
+        v = by_dx[dx]
+        if dy:
+            v = _roll(v, -dy, 0)
+        acc = jnp.where(m, v, acc)
+    return acc
+
+
+def _pull_add(masks, arr, consts):
+    """Fused ``step + value-at-successor``: per direction the step length is
+    a constant, so the add rides the select chain (no stepd raster)."""
+    east = _roll(arr, -1, 1)
+    west = _roll(arr, 1, 1)
+    by_dx = {-1: west, 0: arr, 1: east}
+    acc = arr
+    for m, dy, dx, c in zip(masks, D8_DY, D8_DX, consts):
+        v = by_dx[dx]
+        if dy:
+            v = _roll(v, -dy, 0)
+        acc = jnp.where(m, c + v, acc)
+    return acc
+
+
+def _step_consts(px):
+    # Exactly the f32 product the XLA engines' stepd raster holds
+    # (f32(step_pixels) * f32(px)).
+    return [jnp.float32(np.float32(s) * np.float32(px)) for s in D8_STEP]
+
+
+def _starts(b, band):
+    """Sublane-aligned slice starts for band b (all provably multiples of 8,
+    which Mosaic requires for dynamic dimension-0 vector loads)."""
+    base = pl.multiple_of(b * band, PAD)
+    start = pl.multiple_of(base + PAD, PAD)
+    below = pl.multiple_of(base + PAD + band, PAD)
+    return base, start, below
+
+
+def _band_ext(ref, start, below, saved, band):
+    """(band + 16, cols) pre-sweep window: carried 8-row tail of the band
+    above, this band, and the head of the band below (not yet updated)."""
+    below_rows = ref[pl.ds(below, PAD), :]
+    mid = ref[pl.ds(start, band), :]
+    return jnp.concatenate([saved, mid, below_rows], axis=0)
+
+
+# ---------------------------------------------------------------------------
+# Flow: walk to the nearest river / NaN absorber.
+# ---------------------------------------------------------------------------
+
+
+def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out,
+                 *, px, max_steps, nbands, band):
+    consts = _step_consts(px)
+
+    def sweep(k, t0):
+        gate = (t0 + k) < max_steps
+
+        def band_body(b, carry):
+            saved_code, saved_dist = carry
+            base, start, below = _starts(b, band)
+            fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
+            masks = [fdr_ext == c for c in D8_CODES]
+            code_ext = _band_ext(code_ref, start, below, saved_code, band)
+            dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
+            p_code = _pull_sel(masks, code_ext)[PAD : PAD + band]
+            cand = _pull_add(masks, dist_ext, consts)[PAD : PAD + band]
+            code_b = code_ext[PAD : PAD + band]
+            dist_b = dist_ext[PAD : PAD + band]
+            hit = gate & (code_b == UNRES) & (p_code != UNRES)
+            new_code = jnp.where(hit, p_code, code_b)
+            new_dist = jnp.where(hit, cand, dist_b)
+            nxt = (
+                code_ext[band : band + PAD],
+                dist_ext[band : band + PAD],
+            )
+            code_ref[pl.ds(start, band), :] = new_code
+            dist_ref[pl.ds(start, band), :] = new_dist
+            return nxt
+
+        saved0 = (code_ref[pl.ds(0, PAD), :], dist_ref[pl.ds(0, PAD), :])
+        jax.lax.fori_loop(0, nbands, band_body, saved0)
+        return t0
+
+    def cond(carry):
+        newly, t = carry
+        return (newly > 0) & (t < max_steps)
+
+    def body(carry):
+        _newly, t = carry
+        before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        jax.lax.fori_loop(0, CHECK, sweep, t)
+        after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        return (before - after, t + CHECK)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+    code_out[:, :] = code_ref[:, :]
+    dist_out[:, :] = dist_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("px", "max_steps", "interpret"))
+def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
+    """(fdist, indices) with the whole walk resolved in one kernel launch.
+
+    Bit-identical to ops.pallas.walk.flow_pallas / the XLA hybrid engine
+    (flowhand.py:565-846 truth table).
+    """
+    from descriptools_tpu.ops.flow import flow_states
+
+    rows, cols = fdr.shape
+    n = rows * cols
+    succ, step, absorbing, absorb_nan, is_river = flow_states(
+        fdr, river, rows, cols
+    )
+    absorbing2d = absorbing.reshape(rows, cols)
+    is_river2d = is_river.reshape(rows, cols)
+    self_idx = jnp.arange(n, dtype=jnp.float32).reshape(rows, cols)
+    code0 = jnp.where(
+        absorbing2d, jnp.where(is_river2d, self_idx, -self_idx - 1.0), UNRES
+    )
+    fdr_eff = jnp.where(absorbing2d, 0, jnp.asarray(fdr)).astype(jnp.int32)
+
+    rp, cp = _align(rows, cols, FLOW_BAND)
+    fdr_p = _pad(fdr_eff, rp, cp, 0)
+    code_p = _pad(code0, rp, cp, -1.0)  # pad ring: inert resolved
+    dist_p = jnp.zeros_like(code_p)
+
+    code, dist = pl.pallas_call(
+        functools.partial(
+            _flow_kernel, px=px, max_steps=max_steps,
+            nbands=rp // FLOW_BAND, band=FLOW_BAND,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(code_p.shape, jnp.float32)] * 2,
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
+        interpret=interpret,
+    )(fdr_p, code_p, dist_p)
+
+    code = code[PAD : PAD + rows, :cols]
+    dist = dist[PAD : PAD + rows, :cols]
+    landed = code >= 0.0
+    fdist = jnp.where(landed, dist, jnp.float32(NODATA))
+    indices = jnp.where(landed, code, jnp.float32(NODATA)).astype(jnp.int32)
+    return fdist, indices
+
+
+# ---------------------------------------------------------------------------
+# Downslope: walk until the cumulative drop reaches the threshold.
+# ---------------------------------------------------------------------------
+
+
+def _downslope_kernel(fdr_ref, z_ref, d_ref, zt_ref, res_ref, res_out,
+                      *, px, elevation_difference, max_steps, nbands, band):
+    consts = _step_consts(px)
+    ed = jnp.float32(elevation_difference)
+
+    def sweep(k, t0):
+        gate = (t0 + k) < max_steps
+
+        def band_body(b, carry):
+            saved_d, saved_zt = carry
+            base, start, below = _starts(b, band)
+            fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
+            masks = [fdr_ext == c for c in D8_CODES]
+            d_ext = _band_ext(d_ref, start, below, saved_d, band)
+            zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
+            pD = _pull_add(masks, d_ext, consts)[PAD : PAD + band]
+            pZt = _pull_sel(masks, zt_ext)[PAD : PAD + band]
+            D = jnp.where(gate, pD, d_ext[PAD : PAD + band])
+            Zt = jnp.where(gate, pZt, zt_ext[PAD : PAD + band])
+            z = z_ref[pl.ds(start, band), :]
+            res = res_ref[pl.ds(start, band), :]
+            hit = gate & jnp.isnan(res) & (Zt <= z - ed)
+            z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+            res = jnp.where(hit, (z - z_at) / D, res)
+            nxt = (d_ext[band : band + PAD], zt_ext[band : band + PAD])
+            d_ref[pl.ds(start, band), :] = D
+            zt_ref[pl.ds(start, band), :] = Zt
+            res_ref[pl.ds(start, band), :] = res
+            return nxt
+
+        saved0 = (d_ref[pl.ds(0, PAD), :], zt_ref[pl.ds(0, PAD), :])
+        jax.lax.fori_loop(0, nbands, band_body, saved0)
+        return t0
+
+    def cond(carry):
+        return jnp.any(jnp.isnan(res_ref[:, :])) & (carry < max_steps)
+
+    def body(t):
+        jax.lax.fori_loop(0, CHECK, sweep, t)
+        return t + CHECK
+
+    jax.lax.while_loop(cond, body, jnp.int32(0))
+    # Cap: cells still walking take the partial at the horizon
+    # (downslope.py:303-312 semantics, same operands as the XLA engine).
+    Zt = zt_ref[:, :]
+    D = d_ref[:, :]
+    z = z_ref[:, :]
+    res = res_ref[:, :]
+    z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+    partial_ = jnp.where(D == 0.0, 0.0, (z - z_at) / D)
+    res_out[:, :] = jnp.where(jnp.isnan(res), partial_, res)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("px", "elevation_difference", "max_steps", "interpret"),
+)
+def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
+                          max_steps=5000, interpret=False):
+    """Downslope index, whole walk in one kernel launch.
+
+    Bit-identical to ops.downslope._downslope_jacobi (downslope.py:434-532
+    spec): same pull order, same f32 accumulation, same cap semantics.
+    """
+    from descriptools_tpu.ops.downslope import _terminal_and_step
+
+    rows, cols = dem.shape
+    z, terminal, _stepd = _terminal_and_step(dem, fdr, px, NODATA)
+    fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
+    zt0 = jnp.where(terminal, z - _OFF, z)
+    res0 = jnp.where(terminal, 0.0, jnp.float32(jnp.nan))
+
+    rp, cp = _align(rows, cols, DOWN_BAND)
+    fdr_p = _pad(fdr_eff, rp, cp, 0)
+    z_p = _pad(z, rp, cp, 0.0)
+    zt_p = _pad(zt0, rp, cp, 0.0)
+    res_p = _pad(res0, rp, cp, 0.0)  # pad ring: resolved, never NaN
+    d_p = jnp.zeros_like(z_p)
+
+    res = pl.pallas_call(
+        functools.partial(
+            _downslope_kernel, px=px,
+            elevation_difference=elevation_difference, max_steps=max_steps,
+            nbands=rp // DOWN_BAND, band=DOWN_BAND,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(z_p.shape, jnp.float32),
+        input_output_aliases={4: 0},
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
+        interpret=interpret,
+    )(fdr_p, z_p, d_p, zt_p, res_p)
+
+    res = res[PAD : PAD + rows, :cols]
+    # res == 0 stops (terminal-at-start) encode their 0 directly in res0;
+    # NODATA masking is the only post-pass.
+    return jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)

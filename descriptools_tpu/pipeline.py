@@ -68,13 +68,29 @@ def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
     twi = topographic_index(fac, sl_rad, cfg.px)
     mtwi = modified_topographic_index(fac, sl_rad, cfg.px, cfg.n_topo)
     if cfg.resolve_engine() == "pallas":
+        from descriptools_tpu.ops.pallas import walk_vmem
         from descriptools_tpu.ops.pallas.walk import downslope_pallas, flow_pallas
 
-        down = downslope_pallas(
-            dem_f, fdr, cfg.px, cfg.elevation_difference,
-            max_steps=cfg.downslope_max_steps,
-        )
-        fdist, indices = flow_pallas(fdr, river, cfg.px, max_steps=cfg.flow_max_steps)
+        # Whole-grid-in-VMEM tier when the state fits: every sweep in one
+        # kernel launch.  Blocked multi-sweep kernels otherwise.
+        if walk_vmem.fits_vmem(*dem_f.shape, kind="downslope"):
+            down = walk_vmem.downslope_pallas_vmem(
+                dem_f, fdr, cfg.px, cfg.elevation_difference,
+                max_steps=cfg.downslope_max_steps,
+            )
+        else:
+            down = downslope_pallas(
+                dem_f, fdr, cfg.px, cfg.elevation_difference,
+                max_steps=cfg.downslope_max_steps,
+            )
+        if walk_vmem.fits_vmem(*dem_f.shape, kind="flow"):
+            fdist, indices = walk_vmem.flow_pallas_vmem(
+                fdr, river, cfg.px, max_steps=cfg.flow_max_steps
+            )
+        else:
+            fdist, indices = flow_pallas(
+                fdr, river, cfg.px, max_steps=cfg.flow_max_steps
+            )
     else:
         down = downslope(
             dem_f, fdr, cfg.px, cfg.elevation_difference,

@@ -60,3 +60,27 @@ def test_flow_pallas_matches_hybrid(basin):
     wfd, widx = flow_distance_index(fdr, river, PX, max_steps=400)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
     np.testing.assert_allclose(np.asarray(fd), np.asarray(wfd), rtol=1e-6, atol=1e-4)
+
+
+def test_downslope_vmem_matches_jacobi(basin):
+    from descriptools_tpu.ops.downslope import downslope
+    from descriptools_tpu.ops.pallas.walk_vmem import downslope_pallas_vmem
+
+    dem, fdr, _, _ = basin
+    got = np.asarray(
+        downslope_pallas_vmem(dem.astype(np.float32), fdr, PX, 5.0,
+                              max_steps=200, interpret=True)
+    )
+    want = np.asarray(downslope(dem.astype(np.float32), fdr, PX, 5.0, max_steps=200))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flow_vmem_matches_hybrid(basin):
+    from descriptools_tpu.ops.flow import flow_distance_index
+    from descriptools_tpu.ops.pallas.walk_vmem import flow_pallas_vmem
+
+    _, fdr, river, _ = basin
+    fd, idx = flow_pallas_vmem(fdr, river, PX, max_steps=400, interpret=True)
+    wfd, widx = flow_distance_index(fdr, river, PX, max_steps=400)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(wfd), rtol=1e-6, atol=1e-4)
