@@ -36,11 +36,22 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from descriptools_tpu.constants import FLOW_MAX_STEPS, NODATA
 from descriptools_tpu.d8 import pull8, successor
 
-_F32_IDX_LIMIT = 1 << 24  # flat indices are packed exactly into float32
+_I32_IDX_LIMIT = 1 << 31  # flat int32 indices (covers the 1e9-cell target)
+
+
+def _f2i(x):
+    """Reinterpret f32 bits as i32 (exact; lets f32 payloads ride i32 packs)."""
+    return lax.bitcast_convert_type(x, jnp.int32)
+
+
+def _i2f(x):
+    """Reinterpret i32 bits as f32 (inverse of _f2i)."""
+    return lax.bitcast_convert_type(x, jnp.float32)
 
 
 def _doubling_rounds(max_steps):
@@ -105,7 +116,8 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
     Phase 1 is gather-free frontier propagation (pull8 sweeps); phase 2 is
     compacted successor doubling over the residue (see module docstring).
     Used by the single-device flow engine AND the per-shard local phase of
-    the boundary-graph reduction.  Requires n <= 2^24 (f32-exact indices).
+    the boundary-graph reduction.  Indices are exact int32 (f32 payloads
+    ride the packed gathers as raw bits), so any n < 2^31 cells works.
     """
     rows, cols = fdr.shape
     n = rows * cols
@@ -125,9 +137,7 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
     # sees consistent types between init and body outputs.
     dist0 = stepd2d * 0.0
     steps0 = stepd2d * 0.0
-    absorber0 = jnp.where(
-        resolved0, self_idx.reshape(rows, cols).astype(jnp.float32), 0.0
-    )
+    absorber0 = jnp.where(resolved0, self_idx.reshape(rows, cols), 0)
 
     n_i32 = jnp.array(n, jnp.int32)
     stepd = stepd2d
@@ -146,7 +156,7 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
             p_res, p_tag, p_d, p_s, p_a = pull8(
                 fdr_eff,
                 [resolved, tag, dist, steps, absorber],
-                [False, 0.0, 0.0, 0.0, 0.0],
+                [False, 0.0, 0.0, 0.0, 0],
             )
             hit = (~resolved) & p_res
             dist = jnp.where(hit, stepd + p_d, dist)
@@ -184,12 +194,22 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
 
         g_succ = succ[sub]
         g_un = unresolved[sub]
-        # Full-grid resolution state at each sub cell's successor — one
-        # packed (cap, 4) subset gather.
+        # Full-grid resolution state, packed into i32 rows (f32 payloads ride
+        # as raw bits — selects/gathers move bits, so this is exact at any
+        # grid size, unlike f32-encoded indices which round above 2^24).
         full_pack = jnp.stack(
-            [resolved_f.astype(jnp.float32), dist_f, steps_f, absorber_f, tag_f],
+            [
+                resolved_f.astype(jnp.int32),
+                _f2i(dist_f),
+                _f2i(steps_f),
+                absorber_f,
+                _f2i(tag_f),
+            ],
             axis=-1,
         )
+        # Two packed subset gathers: state at each sub cell and at its succ
+        # (gather cost on TPU is per index, not per payload byte).
+        at_sub = full_pack[sub]
         at_succ = full_pack[g_succ]
         succ_resolved = at_succ[:, 0] > 0
 
@@ -200,18 +220,16 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
         # WEIGHT; their actual resolution lives in the static r_* arrays so
         # repeated composition cannot double-count it.
         absorbed0 = (~g_un) | succ_resolved
-        r_dist = jnp.where(
-            g_un, sub_step + at_succ[:, 1], dist_f[sub]
-        )
-        r_steps = jnp.where(g_un, 1.0 + at_succ[:, 2], steps_f[sub])
-        r_abs = jnp.where(g_un, at_succ[:, 3], absorber_f[sub])
-        r_tag = jnp.where(g_un, at_succ[:, 4], tag_f[sub])
+        r_dist = jnp.where(g_un, sub_step + _i2f(at_succ[:, 1]), _i2f(at_sub[:, 1]))
+        r_steps = jnp.where(g_un, 1.0 + _i2f(at_succ[:, 2]), _i2f(at_sub[:, 2]))
+        r_abs = jnp.where(g_un, at_succ[:, 3], at_sub[:, 3])
+        r_tag = jnp.where(g_un, _i2f(at_succ[:, 4]), _i2f(at_sub[:, 4]))
 
         s_succ = jnp.where(absorbed0, k, jnp.clip(rank[g_succ], 0, cap - 1))
         e_dist = jnp.where(absorbed0, 0.0, sub_step)
         e_steps = jnp.where(absorbed0, 0.0, 1.0)
 
-        pack = jnp.stack([s_succ.astype(jnp.float32), e_dist, e_steps], axis=-1)
+        pack = jnp.stack([s_succ, _f2i(e_dist), _f2i(e_steps)], axis=-1)
 
         rounds = _doubling_rounds(max_steps)
 
@@ -221,14 +239,19 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
 
         def dbl_body(state):
             p, r, _ = state
-            cur = p[:, 0].astype(jnp.int32)
+            cur = p[:, 0]
             nxt = p[cur]  # one packed (cap, 3) gather per round
             p = jnp.stack(
-                [nxt[:, 0], p[:, 1] + nxt[:, 1], p[:, 2] + nxt[:, 2]], axis=-1
+                [
+                    nxt[:, 0],
+                    _f2i(_i2f(p[:, 1]) + _i2f(nxt[:, 1])),
+                    _f2i(_i2f(p[:, 2]) + _i2f(nxt[:, 2])),
+                ],
+                axis=-1,
             )
             # Early exit once every live chain has reached an absorbed slot
             # (cycle-only residues cannot converge; the round cap bounds them).
-            done = jnp.all(absorbed0[p[:, 0].astype(jnp.int32)] | ~g_un)
+            done = jnp.all(absorbed0[p[:, 0]] | ~g_un)
             return (p, r + 1, done)
 
         zero = jnp.sum(g_un).astype(jnp.int32) * 0  # varying-typed zero
@@ -239,20 +262,26 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
         # Converged iff the chain reached an init-absorbed slot (paths that
         # should land within max_steps always converge: 2^rounds >= max_steps
         # and longer paths are NaN by the cap anyway).
-        final_slot = pack[:, 0].astype(jnp.int32)
+        final_slot = pack[:, 0]
         chain_done = absorbed0[final_slot]
         write = g_un & chain_done
-        r_at_final = jnp.stack([r_dist, r_steps, r_abs, r_tag], axis=-1)[final_slot]
+        r_at_final = jnp.stack(
+            [_f2i(r_dist), _f2i(r_steps), r_abs, _f2i(r_tag)], axis=-1
+        )[final_slot]
         dist_f = dist_f.at[sub].set(
-            jnp.where(write, pack[:, 1] + r_at_final[:, 0], dist_f[sub])
+            jnp.where(write, _i2f(pack[:, 1]) + _i2f(r_at_final[:, 0]),
+                      _i2f(at_sub[:, 1]))
         )
         steps_f = steps_f.at[sub].set(
-            jnp.where(write, pack[:, 2] + r_at_final[:, 1], steps_f[sub])
+            jnp.where(write, _i2f(pack[:, 2]) + _i2f(r_at_final[:, 1]),
+                      _i2f(at_sub[:, 2]))
         )
-        new_abs = jnp.where(write, r_at_final[:, 2], absorber_f[sub])
+        new_abs = jnp.where(write, r_at_final[:, 2], at_sub[:, 3])
         absorber_f = absorber_f.at[sub].set(new_abs)
         res_f = resolved_f.at[sub].set(resolved_f[sub] | write)
-        tg_f = tag_f.at[sub].set(jnp.where(write, r_at_final[:, 3], tag_f[sub]))
+        tg_f = tag_f.at[sub].set(
+            jnp.where(write, _i2f(r_at_final[:, 3]), _i2f(at_sub[:, 4]))
+        )
         return res_f, tg_f, dist_f, steps_f, absorber_f
 
     def no_phase2(args):
@@ -264,13 +293,7 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
         no_phase2,
         (resolved, tag, dist, steps, absorber),
     )
-    return (
-        resolved_f,
-        dist_f,
-        steps_f,
-        absorber_f.astype(jnp.int32),
-        tag_f,
-    )
+    return (resolved_f, dist_f, steps_f, absorber_f, tag_f)
 
 
 @partial(jax.jit, static_argnames=("max_steps", "px", "cap"))
@@ -296,7 +319,12 @@ def flow_distance_index(fdr, river, px, max_steps=FLOW_MAX_STEPS, method="hybrid
     """
     rows, cols = fdr.shape
     n = rows * cols
-    if method == "doubling" or n > _F32_IDX_LIMIT:
+    if n >= _I32_IDX_LIMIT:
+        raise ValueError(
+            f"{n} cells overflow flat int32 indices; use the sharded or "
+            "tiled path (descriptools_tpu.parallel / tiled) above 2^31 cells"
+        )
+    if method == "doubling":
         return _flow_doubling(fdr, river, px, max_steps)
     cap = min(n, max(1024, n // 8))
     return _flow_hybrid(fdr, river, px, max_steps, cap)

@@ -41,7 +41,10 @@ H_SWEEPS = 64
 
 _OFF = float(1 << 20)  # terminal-elevation offset (ops/downslope.py)
 _HALF = float(1 << 19)
-UNRES = float(-(1 << 26))  # flow: unresolved sentinel code
+# Flow: unresolved sentinel code.  Codes are int32 (+idx river / -idx-1 NaN
+# absorber), exact at any grid size < 2^31 cells — f32 codes would round
+# above 2^24.  INT32_MIN never collides with -idx-1 for idx < 2^31-1.
+UNRES = -(1 << 31)
 
 
 def _roll(a, shift, axis):
@@ -256,9 +259,10 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 #   code = +absorber_index        resolved, landed on a river cell
 #          -absorber_index - 1    resolved, landed on a NaN absorber
 #          UNRES                  still walking
-# (indices < 2^24 are f32-exact).  dist accumulates stepd on first hit, in
-# the same order as the XLA frontier engine.  A cell resolved at sweep t has
-# path length <= t <= max_steps, so no separate step counter is needed.
+# (int32 codes, exact for any grid < 2^31 cells).  dist accumulates stepd on
+# first hit, in the same order as the XLA frontier engine.  A cell resolved
+# at sweep t has path length <= t <= max_steps, so no separate step counter
+# is needed.
 # ---------------------------------------------------------------------------
 
 
@@ -309,11 +313,14 @@ def _flow_sweeps(t, fdr_p, stepd_p, code_p, dist_p, h, max_steps,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[_interior_spec()] * 2,
-        out_shape=[jax.ShapeDtypeStruct((rp, cp), jnp.float32)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, cp), jnp.int32),
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32),
+        ],
         scratch_shapes=[
             pltpu.VMEM(win, jnp.int32),
             pltpu.VMEM(win, jnp.float32),
-            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.int32),
             pltpu.VMEM(win, jnp.float32),
             pltpu.SemaphoreType.DMA((4,)),
         ],
@@ -341,9 +348,9 @@ def flow_pallas(fdr, river, px, max_steps=20000, h=H_SWEEPS, interpret=False):
     )
     absorbing2d = absorbing.reshape(rows, cols)
     is_river2d = is_river.reshape(rows, cols)
-    self_idx = jnp.arange(n, dtype=jnp.float32).reshape(rows, cols)
+    self_idx = jnp.arange(n, dtype=jnp.int32).reshape(rows, cols)
     code0 = jnp.where(
-        absorbing2d, jnp.where(is_river2d, self_idx, -self_idx - 1.0), UNRES
+        absorbing2d, jnp.where(is_river2d, self_idx, -self_idx - 1), jnp.int32(UNRES)
     )
     stepd0 = jnp.where(absorbing2d, 0.0, step.reshape(rows, cols) * jnp.float32(px))
     fdr_eff = jnp.where(absorbing2d, 0, jnp.asarray(fdr)).astype(jnp.int32)
@@ -351,7 +358,7 @@ def flow_pallas(fdr, river, px, max_steps=20000, h=H_SWEEPS, interpret=False):
     rp, cp = _block_dims(rows, cols)
     fdr_p = _pad_block(fdr_eff, h, rp, cp, 0)
     stepd_p = _pad_block(stepd0, h, rp, cp, 0.0)
-    code = _pad_block(code0, h, rp, cp, -1.0)[h:-h, h:-h]  # pad: inert resolved
+    code = _pad_block(code0, h, rp, cp, -1)[h:-h, h:-h]  # pad: inert resolved
     dist = jnp.zeros((rp, cp), jnp.float32)
 
     def cond(carry):
@@ -363,7 +370,7 @@ def flow_pallas(fdr, river, px, max_steps=20000, h=H_SWEEPS, interpret=False):
         before = jnp.sum(code == UNRES)
         code, dist = _flow_sweeps(
             jnp.full((1, 1), t, jnp.int32), fdr_p, stepd_p,
-            jnp.pad(code, h, constant_values=-1.0), jnp.pad(dist, h),
+            jnp.pad(code, h, constant_values=-1), jnp.pad(dist, h),
             h, max_steps, interpret=interpret,
         )
         after = jnp.sum(code == UNRES)
@@ -375,7 +382,7 @@ def flow_pallas(fdr, river, px, max_steps=20000, h=H_SWEEPS, interpret=False):
 
     code = code[:rows, :cols]
     dist = dist[:rows, :cols]
-    landed = code >= 0.0
+    landed = code >= 0
     fdist = jnp.where(landed, dist, jnp.float32(NODATA))
-    indices = jnp.where(landed, code, jnp.float32(NODATA)).astype(jnp.int32)
+    indices = jnp.where(landed, code, jnp.int32(NODATA))
     return fdist, indices

@@ -204,16 +204,16 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
     )
     absorbing2d = absorbing.reshape(rows, cols)
     is_river2d = is_river.reshape(rows, cols)
-    self_idx = jnp.arange(n, dtype=jnp.float32).reshape(rows, cols)
+    self_idx = jnp.arange(n, dtype=jnp.int32).reshape(rows, cols)
     code0 = jnp.where(
-        absorbing2d, jnp.where(is_river2d, self_idx, -self_idx - 1.0), UNRES
+        absorbing2d, jnp.where(is_river2d, self_idx, -self_idx - 1), jnp.int32(UNRES)
     )
     fdr_eff = jnp.where(absorbing2d, 0, jnp.asarray(fdr)).astype(jnp.int32)
 
     rp, cp = _align(rows, cols, FLOW_BAND)
     fdr_p = _pad(fdr_eff, rp, cp, 0)
-    code_p = _pad(code0, rp, cp, -1.0)  # pad ring: inert resolved
-    dist_p = jnp.zeros_like(code_p)
+    code_p = _pad(code0, rp, cp, -1)  # pad ring: inert resolved
+    dist_p = jnp.zeros(code_p.shape, jnp.float32)
 
     code, dist = pl.pallas_call(
         functools.partial(
@@ -222,7 +222,10 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[jax.ShapeDtypeStruct(code_p.shape, jnp.float32)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(code_p.shape, jnp.int32),
+            jax.ShapeDtypeStruct(code_p.shape, jnp.float32),
+        ],
         input_output_aliases={1: 0, 2: 1},
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
         interpret=interpret,
@@ -230,9 +233,9 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 
     code = code[PAD : PAD + rows, :cols]
     dist = dist[PAD : PAD + rows, :cols]
-    landed = code >= 0.0
+    landed = code >= 0
     fdist = jnp.where(landed, dist, jnp.float32(NODATA))
-    indices = jnp.where(landed, code, jnp.float32(NODATA)).astype(jnp.int32)
+    indices = jnp.where(landed, code, jnp.int32(NODATA))
     return fdist, indices
 
 

@@ -113,6 +113,8 @@ def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px, max_steps=2
     fx = final % w
     tgy = iy * h + fy + payload[:, 1].astype(jnp.int32)
     tgx = ix * w + fx + payload[:, 2].astype(jnp.int32)
+    # Global flat river index in int32: exact for grids < 2^31 cells, which
+    # covers the 1e9-cell north-star config.  Callers assert R*C < 2^31.
     ridx = ((iy * h + fy) * C + (ix * w + fx)).astype(jnp.int32)
 
     return dict(

@@ -93,6 +93,10 @@ def sharded_flow_hand(dem, fdr, river, fac, px, mesh, max_steps=FLOW_MAX_STEPS):
     riverp = pad_to_mesh(np.asarray(river), mesh, 0)
     facp = pad_to_mesh(np.asarray(fac), mesh, NODATA)
     R, C = demp.shape
+    if R * C >= 1 << 31:
+        raise ValueError(
+            f"padded grid {R}x{C} overflows int32 flat river indices"
+        )
     ny, nx = mesh.devices.shape
     h, w = R // ny, C // nx
     # The reference's river_accumulation falls back to fac.flat[0] for

@@ -85,6 +85,8 @@ def tiled_flow_hand(dem, fdr, river, fac, px, tile_rows=2048, tile_cols=2048,
     """
     shape = np.asarray(dem).shape
     ny, nx, R, C = _tile_grid(shape, tile_rows, tile_cols)
+    if R * C >= 1 << 31:
+        raise ValueError(f"padded grid {R}x{C} overflows int32 flat river indices")
     h, w = tile_rows, tile_cols
     demp = _pad_to(np.asarray(dem), R, C, NODATA)
     fdrp = _pad_to(np.asarray(fdr), R, C, 0)

@@ -94,6 +94,32 @@ def test_hand_clamps_negative_to_zero():
     assert (hand[hand != NODATA] >= 0).all()
 
 
+def test_flow_indices_exact_above_2_24():
+    """Flat river indices past the f32-exact range (2^24) must stay exact.
+
+    17.8M-cell grid, all-south D8, rivers every 8th row except a 128-column
+    corridor that drains 4000+ rows to the bottom river row — the corridor
+    forces the compacted-doubling phase (its packed gathers carry indices as
+    int32 bit patterns), and expected outputs are analytic.
+    """
+    rows, cols = 4104, 4352  # 17.86M cells > 2^24 = 16.78M
+    fdr = np.full((rows, cols), 4, np.uint8)  # all south
+    river = np.zeros((rows, cols), np.int8)
+    river[7::8, :] = 1
+    river[:, :128] = 0
+    river[rows - 1, :] = 1
+
+    d, i = flow_distance_index(fdr, river, PX)
+    d, i = np.asarray(d), np.asarray(i)
+
+    ii = np.arange(rows, dtype=np.int64)[:, None]
+    jj = np.arange(cols, dtype=np.int64)[None, :]
+    r = ii + (7 - ii % 8)  # nearest river row at/below (cols >= 128)
+    r = np.where(jj < 128, rows - 1, r)  # corridor drains to the bottom row
+    np.testing.assert_array_equal(i.astype(np.int64), r * cols + jj)
+    np.testing.assert_allclose(d, (r - ii) * PX, rtol=1e-6, atol=1e-3)
+
+
 def test_hybrid_equals_doubling(basin):
     dem, fdr, river, _ = basin
     d1, i1 = flow_distance_index(fdr, river, PX, method="hybrid")
