@@ -41,9 +41,30 @@ import jax
 import jax.numpy as jnp
 
 from descriptools_tpu.constants import DOWNSLOPE_MAX_STEPS, NODATA
-from descriptools_tpu.d8 import pull8, successor
+from descriptools_tpu.d8 import decode, pull8, successor
 
 _NEG_INF = jnp.float32(-3e38)
+
+
+def trunc_cells(dem, fdr, row0, col0, grid_rows, grid_cols, nodata=NODATA):
+    """Cells whose D8 step leaves the local block while staying INSIDE the
+    global grid.  A walk stopping at such a cell is *truncated* (the local
+    block ran out of data), unlike a genuine terminal stop (global border
+    exit / NoData target / dead end).  ``row0``/``col0`` — global coords of
+    the block origin — may be traced (per-shard under shard_map).
+    """
+    rows, cols = dem.shape
+    z = jnp.asarray(dem, jnp.float32)
+    dy, dx, _step, valid = decode(fdr)
+    i = jnp.arange(rows, dtype=jnp.int32)[:, None]
+    j = jnp.arange(cols, dtype=jnp.int32)[None, :]
+    ty = i + dy
+    tx = j + dx
+    gy = ty + row0
+    gx = tx + col0
+    in_local = (ty >= 0) & (ty < rows) & (tx >= 0) & (tx < cols)
+    in_global = (gy >= 0) & (gy < grid_rows) & (gx >= 0) & (gx < grid_cols)
+    return valid & in_global & ~in_local & (z != jnp.float32(nodata))
 
 
 def _num_levels(max_steps):
@@ -67,11 +88,17 @@ def _terminal_and_step(dem, fdr, px, nodata):
 
 
 @partial(jax.jit, static_argnames=("max_steps", "px", "elevation_difference"))
-def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps):
+def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps, trunc0=None):
+    """Gather-free lookahead engine.  With ``trunc0`` (per-cell bool marking
+    truncation-terminal cells, see :func:`trunc_cells`) also returns a bool
+    raster flagging cells whose stop landed on a truncated terminal — the
+    sharded path retries those with a wider halo until none remain.
+    """
     rows, cols = dem.shape
     z, terminal, stepd = _terminal_and_step(dem, fdr, px, NODATA)
     thresh = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr))
+    track = trunc0 is not None
 
     # Lookahead state, two arrays per sweep: D_t (distance of t steps) and
     # Zt_t = z at P_t with the terminal flag folded in as a -2^20 offset
@@ -84,6 +111,11 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps):
     stopped0 = terminal  # stop at k=0 when the start itself is terminal
     res_d0 = jnp.zeros_like(z)
     res_z0 = z
+    if track:
+        Tt0 = jnp.asarray(trunc0, jnp.bool_)
+        res_t0 = terminal & Tt0  # stopped-at-start cells carry their own flag
+    else:
+        Tt0 = res_t0 = None
 
     def cond(carry):
         stopped, *_rest, t = carry
@@ -94,10 +126,18 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps):
     UNROLL = 8
 
     def body(carry):
-        stopped, D, Zt, res_d, res_z, t = carry
+        if track:
+            stopped, D, Zt, Tt, res_d, res_z, res_t, t = carry
+        else:
+            stopped, D, Zt, res_d, res_z, t = carry
+            Tt = res_t = None
         for k in range(UNROLL):
             live = t + k < max_steps
-            pD, pZt = pull8(fdr_eff, [D, Zt], [0.0, 0.0])
+            if track:
+                pD, pZt, pT = pull8(fdr_eff, [D, Zt, Tt], [0.0, 0.0, False])
+                Tt = jnp.where(live, pT, Tt)
+            else:
+                pD, pZt = pull8(fdr_eff, [D, Zt], [0.0, 0.0])
             D = jnp.where(live, stepd + pD, D)
             Zt = jnp.where(live, pZt, Zt)
             # Offset-encoded key: terminal positions sit ~2^20 below any
@@ -106,19 +146,36 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps):
             z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
             res_d = jnp.where(hit, D, res_d)
             res_z = jnp.where(hit, z_at, res_z)
+            if track:
+                # Truncated iff the stop was a terminal (offset-encoded)
+                # that is truncation-flagged; threshold stops are exact.
+                res_t = jnp.where(hit, Tt & (Zt < -_HALF), res_t)
             stopped = stopped | hit
+        if track:
+            return (stopped, D, Zt, Tt, res_d, res_z, res_t, t + UNROLL)
         return (stopped, D, Zt, res_d, res_z, t + UNROLL)
 
-    carry = (stopped0, D0, Zt0, res_d0, res_z0, jnp.array(0, jnp.int32))
-    stopped, D, Zt, res_d, res_z, _t = jax.lax.while_loop(cond, body, carry)
+    if track:
+        carry = (stopped0, D0, Zt0, Tt0, res_d0, res_z0, res_t0,
+                 jnp.array(0, jnp.int32))
+        stopped, D, Zt, _Tt, res_d, res_z, res_t, _t = jax.lax.while_loop(
+            cond, body, carry
+        )
+    else:
+        carry = (stopped0, D0, Zt0, res_d0, res_z0, jnp.array(0, jnp.int32))
+        stopped, D, Zt, res_d, res_z, _t = jax.lax.while_loop(cond, body, carry)
 
     # Cap: unstopped cells take the partial result at the lookahead horizon
-    # (identical formula, downslope.py:303-312).
+    # (identical formula, downslope.py:303-312).  A cap stop is exact: had
+    # the path reached any terminal (incl. a block edge) it would have hit.
     res_d = jnp.where(stopped, res_d, D)
     res_z = jnp.where(stopped, res_z, jnp.where(Zt < -_HALF, Zt + _OFF, Zt))
 
     out = jnp.where(res_d == 0.0, 0.0, (z - res_z) / res_d)
-    return jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
+    out = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
+    if track:
+        return out, res_t & stopped
+    return out
 
 
 def build_downslope_tables(dem, fdr, px, nodata=NODATA, max_steps=DOWNSLOPE_MAX_STEPS):

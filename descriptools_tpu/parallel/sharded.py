@@ -22,7 +22,7 @@ from descriptools_tpu.constants import (
     FLOW_MAX_STEPS,
     NODATA,
 )
-from descriptools_tpu.ops.downslope import downslope as _downslope_single
+from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
 from descriptools_tpu.ops.slope import slope_from_padded
 from descriptools_tpu.parallel import boundary
 from descriptools_tpu.parallel.halo import halo_exchange
@@ -140,38 +140,62 @@ def sharded_flow_hand(dem, fdr, river, fac, px, mesh, max_steps=FLOW_MAX_STEPS):
 
 def sharded_downslope(
     dem, fdr, px, elevation_difference, mesh,
-    halo=64, max_steps=DOWNSLOPE_MAX_STEPS,
+    halo=64, max_steps=DOWNSLOPE_MAX_STEPS, exact=True,
 ):
-    """Downslope index with a halo-buffered local binary descent.
+    """Downslope index over the mesh — EXACT (bitwise vs single-device).
 
-    Walks confined to within ``halo`` cells of the home block are exact;
-    a walk that leaves the extended block stops at its edge (the same
-    partial-gradient semantics the reference applies at grid borders).
-    Downslope walks terminate after a ~``elevation_difference`` metre drop,
-    so a modest halo covers them on real terrain; raise ``halo`` (up to
-    min(h, w)) for pathological flats.
+    Each shard walks on a halo-extended block; the engine flags every cell
+    whose walk stopped at the extended-block edge while still inside the
+    global grid (``ops.downslope.trunc_cells``).  If any cell anywhere is
+    truncated, the halo doubles (multi-hop ICI exchange past one block) and
+    the solve reruns — walks are bounded by ``max_steps`` and by the grid,
+    so the loop terminates, normally in one pass on real terrain.  This
+    matches the reference's global-repair exactness guarantee
+    (downslope.py:373-374) with no host walk.  ``exact=False`` keeps the
+    single fixed-halo pass (the round-1 heuristic) for benchmarking.
     """
     shape = np.asarray(dem).shape
     demp = pad_to_mesh(np.asarray(dem).astype(np.float32), mesh, NODATA)
     fdrp = pad_to_mesh(np.asarray(fdr), mesh, 0)
+    R, C = demp.shape
     ny, nx = mesh.devices.shape
-    h, w = demp.shape[0] // ny, demp.shape[1] // nx
-    halo = int(min(halo, h, w))
+    h, w = R // ny, C // nx
+    halo = int(min(halo, max(R, C), max_steps + 1))
 
-    @jax.jit
-    @partial(
-        shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
-        out_specs=P("y", "x"),
-    )
-    def run(dem_blk, fdr_blk):
-        dem_ext = halo_exchange(dem_blk, halo, NODATA)
-        fdr_ext = halo_exchange(fdr_blk, halo, 0)
-        out = _downslope_single(
-            dem_ext, fdr_ext, px, elevation_difference, max_steps=max_steps
+    def build(halo):
+        @jax.jit
+        @partial(
+            shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+            out_specs=(P("y", "x"), P("y", "x")),
         )
-        return out[halo:-halo, halo:-halo]
+        def run(dem_blk, fdr_blk):
+            iy = lax.axis_index("y")
+            ix = lax.axis_index("x")
+            dem_ext = halo_exchange(dem_blk, halo, NODATA)
+            fdr_ext = halo_exchange(fdr_blk, halo, 0)
+            tr0 = trunc_cells(
+                dem_ext, fdr_ext, iy * h - halo, ix * w - halo, R, C
+            )
+            out, tr = _downslope_jacobi(
+                dem_ext, fdr_ext, px, elevation_difference, max_steps,
+                trunc0=tr0,
+            )
+            return (
+                out[halo:-halo, halo:-halo],
+                tr[halo:-halo, halo:-halo],
+            )
 
-    out = run(_device_put_sharded(demp, mesh), _device_put_sharded(fdrp, mesh))
+        return run
+
+    dem_d = _device_put_sharded(demp, mesh)
+    fdr_d = _device_put_sharded(fdrp, mesh)
+    while True:
+        out, tr = build(halo)(dem_d, fdr_d)
+        # One scalar readback decides convergence (halo is compile-static,
+        # so the retry is a host-level loop; each halo compiles once).
+        if not exact or halo >= max(R, C) or not bool(jnp.any(tr)):
+            break
+        halo = min(2 * halo, max(R, C), max_steps + 1)
     return crop_from_mesh(out, shape)
 
 

@@ -84,6 +84,44 @@ def test_sharded_downslope_matches_single(basin, mesh_idx):
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
 
 
+def _gentle_east_basin(rows, cols):
+    """Integer DEM with a quadratic eastward profile: the gradient varies
+    along the path, so a truncated walk's partial ratio differs from the
+    full walk's — and with a large elevation threshold walks run 50-200
+    cells east, far past any halo."""
+    prof = np.round((cols - np.arange(cols, dtype=np.float64)) ** 2 / 50.0)
+    dem = 500.0 + prof * np.ones((rows, 1))
+    fdr = np.full((rows, cols), 1, np.uint8)  # all east
+    return dem, fdr
+
+
+@pytest.mark.parametrize("mesh_idx", [0, 1, 2])
+def test_sharded_downslope_exact_past_halo(mesh_idx):
+    """Walks 100+ cells long with halo=8: the truncation-retry loop must
+    widen the halo (multi-hop exchange on narrow blocks) and land bitwise
+    on the single-device result — the reference's exactness guarantee
+    (downslope.py:373-374)."""
+    dem, fdr = _gentle_east_basin(48, 256)
+    mesh = meshes()[mesh_idx]
+    got = np.asarray(
+        sharded_downslope(dem, fdr, PX, 100.0, mesh, halo=8)
+    )
+    want = np.asarray(downslope(dem.astype(np.float32), fdr, PX, 100.0))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharded_downslope_exact_heuristic_would_diverge():
+    """Sanity: the fixed-halo heuristic (exact=False) DOES diverge on the
+    long-flat-walk basin, proving the exact loop is doing real work."""
+    dem, fdr = _gentle_east_basin(48, 256)
+    mesh = make_mesh((1, 8))
+    heur = np.asarray(
+        sharded_downslope(dem, fdr, PX, 100.0, mesh, halo=8, exact=False)
+    )
+    want = np.asarray(downslope(dem.astype(np.float32), fdr, PX, 100.0))
+    assert not np.allclose(heur, want)
+
+
 def test_sharded_suite_runs(basin):
     dem, fdr, river, fac = basin
     mesh = make_mesh((2, 4))
