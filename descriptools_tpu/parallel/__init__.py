@@ -20,6 +20,7 @@ from descriptools_tpu.parallel.sharded import (
     sharded_flow_hand,
     sharded_downslope,
     sharded_suite,
+    sharded_suite_staged,
 )
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "sharded_flow_hand",
     "sharded_downslope",
     "sharded_suite",
+    "sharded_suite_staged",
 ]

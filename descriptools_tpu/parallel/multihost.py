@@ -46,6 +46,36 @@ def global_mesh(shape=None, axis_names=("y", "x")):
     return make_mesh(shape=shape, devices=jax.devices(), axis_names=axis_names)
 
 
+def stage_padded(mesh, shape, fill, block_loader, dtype):
+    """Stage a global raster PADDED to a mesh-divisible shape.
+
+    ``block_loader(ys, ye, xs, xe)`` reads a window in ORIGINAL raster
+    coordinates; positions beyond ``shape`` (the bottom/right padding the
+    equal-block decomposition needs) are filled with ``fill`` — the same
+    NoData conventions as parallel.mesh.pad_to_mesh, but applied per-block
+    so no process ever holds the global raster.
+    """
+    ny, nx = mesh.devices.shape
+    R = -(-shape[0] // ny) * ny
+    C = -(-shape[1] // nx) * nx
+    sharding = NamedSharding(mesh, P("y", "x"))
+
+    def cb(index):
+        ys = index[0].start or 0
+        xs = index[1].start or 0
+        ye = index[0].stop if index[0].stop is not None else R
+        xe = index[1].stop if index[1].stop is not None else C
+        blk = np.full((ye - ys, xe - xs), fill, dtype)
+        rye, rxe = min(ye, shape[0]), min(xe, shape[1])
+        if ys < shape[0] and xs < shape[1]:
+            blk[: rye - ys, : rxe - xs] = np.asarray(
+                block_loader(ys, rye, xs, rxe), dtype=dtype
+            )
+        return blk
+
+    return jax.make_array_from_callback((R, C), sharding, cb)
+
+
 def stage_global(mesh, shape, dtype, block_loader):
     """Assemble a global sharded array without any host holding it whole.
 

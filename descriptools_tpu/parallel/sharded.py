@@ -33,20 +33,57 @@ def _device_put_sharded(arr, mesh):
     return jax.device_put(jnp.asarray(arr), NamedSharding(mesh, P("y", "x")))
 
 
-def sharded_slope(dem, px, mesh):
-    """Slope stencil with 1-cell ICI halo exchange."""
-    shape = np.asarray(dem).shape
-    demp = pad_to_mesh(np.asarray(dem), mesh, NODATA)
+def _is_staged(arr, mesh):
+    """True for a global jax.Array already sharded (y, x) over a mesh —
+    i.e. produced by multihost.stage_padded; never materialised on host."""
+    return isinstance(arr, jax.Array) and isinstance(arr.sharding, NamedSharding)
+
+
+def _staged(arr, mesh, fill, dtype=None):
+    """Host raster -> padded sharded device array; staged arrays pass
+    through (multi-host safe: their shards are never gathered)."""
+    if _is_staged(arr, mesh):
+        ny, nx = mesh.devices.shape
+        assert arr.shape[0] % ny == 0 and arr.shape[1] % nx == 0, (
+            f"staged array {arr.shape} not padded to mesh {(ny, nx)}"
+        )
+        return arr
+    a = np.asarray(arr)
+    if dtype is not None:
+        a = a.astype(dtype)
+    return _device_put_sharded(pad_to_mesh(a, mesh, fill), mesh)
+
+
+def _resolve_shape(arr, mesh, shape):
+    """Original (un-padded) raster shape.  Staged callers must pass it."""
+    if shape is not None:
+        return tuple(shape)
+    if _is_staged(arr, mesh):
+        raise ValueError("pass shape=(rows, cols) when inputs are staged")
+    return np.asarray(arr).shape
+
+
+def sharded_slope(dem, px, mesh, shape=None, crop=True):
+    """Slope stencil with 1-cell ICI halo exchange.
+
+    ``dem`` may be a host raster or a staged global array (see
+    multihost.stage_padded); staged callers pass the original ``shape``.
+    ``crop=False`` returns the padded global raster (multi-process callers
+    inspect addressable shards instead of materialising).
+    """
+    shape = _resolve_shape(dem, mesh, shape)
+    dem_s = _staged(dem, mesh, NODATA, np.float32)
 
     @jax.jit
     @partial(
         shard_map, mesh=mesh, in_specs=P("y", "x"), out_specs=P("y", "x"),
     )
     def run(blk):
+        blk = jnp.asarray(blk, jnp.float32)
         return slope_from_padded(halo_exchange(blk, 1, NODATA), px)
 
-    out = run(_device_put_sharded(demp.astype(np.float32), mesh))
-    return crop_from_mesh(out, shape)
+    out = run(dem_s)
+    return crop_from_mesh(out, shape) if crop else out
 
 
 def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px, max_steps):
@@ -82,26 +119,34 @@ def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px, max_
     return fdist, indices, hand, river_fac
 
 
-def sharded_flow_hand(dem, fdr, river, fac, px, mesh, max_steps=FLOW_MAX_STEPS):
+def sharded_flow_hand(
+    dem, fdr, river, fac, px, mesh,
+    max_steps=FLOW_MAX_STEPS, shape=None, fac0=None, crop=True,
+):
     """Flow distance / river indices / HAND / river-fac via the boundary-graph
     reduction.  ``fac`` rides along as the river payload so GFI needs no
     global gather.  dem should be integer for bitwise HAND parity.
+
+    Inputs may be staged global arrays (multihost.stage_padded); staged
+    callers pass ``shape`` and ``fac0`` (= fac.flat[0], the reference's
+    river_accumulation fallback, gfi.py:141-143 — unreadable from a staged
+    array without a gather).  ``crop=False`` keeps padded-grid coordinates.
     """
-    shape = np.asarray(dem).shape
-    demp = pad_to_mesh(np.asarray(dem), mesh, NODATA)
-    fdrp = pad_to_mesh(np.asarray(fdr), mesh, 0)
-    riverp = pad_to_mesh(np.asarray(river), mesh, 0)
-    facp = pad_to_mesh(np.asarray(fac), mesh, NODATA)
-    R, C = demp.shape
+    shape = _resolve_shape(dem, mesh, shape)
+    dem_s = _staged(dem, mesh, NODATA)
+    fdr_s = _staged(fdr, mesh, 0)
+    river_s = _staged(river, mesh, 0)
+    fac_s = _staged(fac, mesh, NODATA)
+    R, C = dem_s.shape
     if R * C >= 1 << 31:
         raise ValueError(
             f"padded grid {R}x{C} overflows int32 flat river indices"
         )
     ny, nx = mesh.devices.shape
     h, w = R // ny, C // nx
-    # The reference's river_accumulation falls back to fac.flat[0] for
-    # unresolved cells (gfi.py:141-143) — preserved for parity.
-    fac0 = jnp.float32(np.asarray(fac).reshape(-1)[0])
+    if fac0 is None:
+        fac0 = float(np.asarray(fac).reshape(-1)[0])
+    fac0 = jnp.float32(fac0)
 
     body = partial(
         _flow_block, h=h, w=w, R=R, C=C, px=px, max_steps=max_steps, fac0=fac0
@@ -117,12 +162,9 @@ def sharded_flow_hand(dem, fdr, river, fac, px, mesh, max_steps=FLOW_MAX_STEPS):
     def run(d, f, r, a):
         return body(d, f, r, a)
 
-    fdist, indices, hand, river_fac = run(
-        _device_put_sharded(demp, mesh),
-        _device_put_sharded(fdrp, mesh),
-        _device_put_sharded(riverp, mesh),
-        _device_put_sharded(facp, mesh),
-    )
+    fdist, indices, hand, river_fac = run(dem_s, fdr_s, river_s, fac_s)
+    if not crop:
+        return fdist, indices, hand, river_fac
     indices = crop_from_mesh(indices, shape)
     if C != shape[1]:
         # Flat indices were computed in the padded grid; renumber to the
@@ -140,7 +182,7 @@ def sharded_flow_hand(dem, fdr, river, fac, px, mesh, max_steps=FLOW_MAX_STEPS):
 
 def sharded_downslope(
     dem, fdr, px, elevation_difference, mesh,
-    halo=64, max_steps=DOWNSLOPE_MAX_STEPS, exact=True,
+    halo=64, max_steps=DOWNSLOPE_MAX_STEPS, exact=True, shape=None, crop=True,
 ):
     """Downslope index over the mesh — EXACT (bitwise vs single-device).
 
@@ -154,10 +196,10 @@ def sharded_downslope(
     (downslope.py:373-374) with no host walk.  ``exact=False`` keeps the
     single fixed-halo pass (the round-1 heuristic) for benchmarking.
     """
-    shape = np.asarray(dem).shape
-    demp = pad_to_mesh(np.asarray(dem).astype(np.float32), mesh, NODATA)
-    fdrp = pad_to_mesh(np.asarray(fdr), mesh, 0)
-    R, C = demp.shape
+    shape = _resolve_shape(dem, mesh, shape)
+    dem_s = _staged(dem, mesh, NODATA, np.float32)
+    fdr_s = _staged(fdr, mesh, 0)
+    R, C = dem_s.shape
     ny, nx = mesh.devices.shape
     h, w = R // ny, C // nx
     halo = int(min(halo, max(R, C), max_steps + 1))
@@ -171,7 +213,9 @@ def sharded_downslope(
         def run(dem_blk, fdr_blk):
             iy = lax.axis_index("y")
             ix = lax.axis_index("x")
-            dem_ext = halo_exchange(dem_blk, halo, NODATA)
+            dem_ext = halo_exchange(
+                jnp.asarray(dem_blk, jnp.float32), halo, NODATA
+            )
             fdr_ext = halo_exchange(fdr_blk, halo, 0)
             tr0 = trunc_cells(
                 dem_ext, fdr_ext, iy * h - halo, ix * w - halo, R, C
@@ -187,21 +231,29 @@ def sharded_downslope(
 
         return run
 
-    dem_d = _device_put_sharded(demp, mesh)
-    fdr_d = _device_put_sharded(fdrp, mesh)
     while True:
-        out, tr = build(halo)(dem_d, fdr_d)
+        out, tr = build(halo)(dem_s, fdr_s)
         # One scalar readback decides convergence (halo is compile-static,
         # so the retry is a host-level loop; each halo compiles once).
+        # jnp.any reduces globally to a replicated scalar, so every process
+        # of a multi-host run takes the same branch.
         if not exact or halo >= max(R, C) or not bool(jnp.any(tr)):
             break
         halo = min(2 * halo, max(R, C), max_steps + 1)
-    return crop_from_mesh(out, shape)
+    return crop_from_mesh(out, shape) if crop else out
 
 
-def sharded_suite(dem, fdr, fac, river, cfg, mesh, downslope_halo=64):
+def sharded_suite(
+    dem, fdr, fac, river, cfg, mesh,
+    downslope_halo=64, shape=None, fac0=None, crop=True,
+):
     """Full descriptor suite over the mesh (slope, TWI, mod-TWI, downslope,
     fdist, indices, HAND, GFI, ln(hl/H)).  Mirrors pipeline.descriptor_suite.
+
+    Inputs may be host rasters OR staged global arrays (no process holds
+    the global grid; see sharded_suite_staged).  Pointwise maps run as
+    plain jit over the sharded arrays — XLA partitions elementwise ops
+    without data movement.
     """
     from descriptools_tpu.ops.topo import (
         modified_topographic_index,
@@ -209,20 +261,31 @@ def sharded_suite(dem, fdr, fac, river, cfg, mesh, downslope_halo=64):
     )
     from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
 
-    sl = sharded_slope(np.asarray(dem).astype(np.float32), cfg.px, mesh)
+    shape = _resolve_shape(dem, mesh, shape)
+    dem_s = _staged(dem, mesh, NODATA)
+    fdr_s = _staged(fdr, mesh, 0)
+    river_s = _staged(river, mesh, 0)
+    fac_s = _staged(fac, mesh, NODATA)
+    if fac0 is None:
+        fac0 = float(np.asarray(fac).reshape(-1)[0])
+
+    sl = sharded_slope(dem_s, cfg.px, mesh, shape=shape, crop=crop)
     fdist, indices, hand, river_fac = sharded_flow_hand(
-        dem, fdr, river, fac, cfg.px, mesh, max_steps=cfg.flow_max_steps
+        dem_s, fdr_s, river_s, fac_s, cfg.px, mesh,
+        max_steps=cfg.flow_max_steps, shape=shape, fac0=fac0, crop=crop,
     )
     down = sharded_downslope(
-        dem, fdr, cfg.px, cfg.elevation_difference, mesh,
+        dem_s, fdr_s, cfg.px, cfg.elevation_difference, mesh,
         halo=downslope_halo, max_steps=cfg.downslope_max_steps,
+        shape=shape, crop=crop,
     )
 
-    # Pointwise maps: plain jit over the sharded arrays (XLA partitions
-    # elementwise ops without data movement).
-    dem_j = jnp.asarray(np.asarray(dem), jnp.float32)
+    dem_j = jnp.asarray(dem_s, jnp.float32)
+    fac_j = fac_s
+    if crop:
+        dem_j = crop_from_mesh(dem_j, shape)
+        fac_j = crop_from_mesh(fac_j, shape)
     sl_rad = jnp.where(dem_j == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
-    fac_j = jnp.asarray(np.asarray(fac))
     twi = topographic_index(fac_j, sl_rad, cfg.px)
     mtwi = modified_topographic_index(fac_j, sl_rad, cfg.px, cfg.n_topo)
     geofi = _gfi(hand, river_fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
@@ -231,4 +294,36 @@ def sharded_suite(dem, fdr, fac, river, cfg, mesh, downslope_halo=64):
         slope=sl, slope_rad=sl_rad, twi=twi, mod_twi=mtwi, downslope=down,
         fdist=fdist, indices=indices, hand=hand, river_fac=river_fac,
         gfi=geofi, ln_hl_h=lnhlh,
+    )
+
+
+def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
+                         crop=True, dtypes=None):
+    """Full suite with per-host shard staging: NO process ever materialises
+    a global raster (mandatory at the 1e9-cell north star; SURVEY §2.10's
+    from-scratch communication layer).
+
+    ``loaders`` maps {'dem','fdr','river','fac'} to
+    ``block_loader(ys, ye, xs, xe) -> np.ndarray`` windowed readers (e.g.
+    windowed GeoTIFF/Zarr reads); each process loads only the blocks its
+    local devices own (jax.make_array_from_callback), padded with the
+    NoData conventions to mesh-divisible shape.
+    """
+    from descriptools_tpu.parallel.multihost import stage_padded
+
+    dtypes = dtypes or {}
+    dem = stage_padded(mesh, shape, NODATA, loaders["dem"],
+                       dtypes.get("dem", np.int32))
+    fdr = stage_padded(mesh, shape, 0, loaders["fdr"],
+                       dtypes.get("fdr", np.uint8))
+    river = stage_padded(mesh, shape, 0, loaders["river"],
+                         dtypes.get("river", np.int8))
+    fac = stage_padded(mesh, shape, NODATA, loaders["fac"],
+                       dtypes.get("fac", np.int32))
+    # The reference's river_accumulation fac.flat[0] fallback (gfi.py:141):
+    # read the single corner cell from the loader, identically on each host.
+    fac0 = float(np.asarray(loaders["fac"](0, 1, 0, 1)).reshape(-1)[0])
+    return sharded_suite(
+        dem, fdr, fac, river, cfg, mesh,
+        downslope_halo=downslope_halo, shape=shape, fac0=fac0, crop=crop,
     )

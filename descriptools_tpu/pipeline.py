@@ -55,6 +55,43 @@ class PipelineConfig:
         return "pallas" if jax.default_backend() == "tpu" else "xla"
 
 
+def _engine_downslope(dem_f, fdr, cfg: PipelineConfig):
+    """Downslope via the configured walk engine (pallas tiers on TPU)."""
+    if cfg.resolve_engine() == "pallas":
+        from descriptools_tpu.ops.pallas import walk_vmem
+        from descriptools_tpu.ops.pallas.walk import downslope_pallas
+
+        # Whole-grid-in-VMEM tier when the state fits: every sweep in one
+        # kernel launch.  Blocked multi-sweep kernels otherwise.
+        if walk_vmem.fits_vmem(*dem_f.shape, kind="downslope"):
+            return walk_vmem.downslope_pallas_vmem(
+                dem_f, fdr, cfg.px, cfg.elevation_difference,
+                max_steps=cfg.downslope_max_steps,
+            )
+        return downslope_pallas(
+            dem_f, fdr, cfg.px, cfg.elevation_difference,
+            max_steps=cfg.downslope_max_steps,
+        )
+    return downslope(
+        dem_f, fdr, cfg.px, cfg.elevation_difference,
+        max_steps=cfg.downslope_max_steps,
+    )
+
+
+def _engine_flow(fdr, river, cfg: PipelineConfig):
+    """(fdist, indices) via the configured walk engine."""
+    if cfg.resolve_engine() == "pallas":
+        from descriptools_tpu.ops.pallas import walk_vmem
+        from descriptools_tpu.ops.pallas.walk import flow_pallas
+
+        if walk_vmem.fits_vmem(*fdr.shape, kind="flow"):
+            return walk_vmem.flow_pallas_vmem(
+                fdr, river, cfg.px, max_steps=cfg.flow_max_steps
+            )
+        return flow_pallas(fdr, river, cfg.px, max_steps=cfg.flow_max_steps)
+    return flow_distance_index(fdr, river, cfg.px, max_steps=cfg.flow_max_steps)
+
+
 @partial(jax.jit, static_argnames=("cfg",))
 def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
     """All descriptors in one compiled program.
@@ -67,38 +104,8 @@ def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
     sl_rad = jnp.where(dem_f == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
     twi = topographic_index(fac, sl_rad, cfg.px)
     mtwi = modified_topographic_index(fac, sl_rad, cfg.px, cfg.n_topo)
-    if cfg.resolve_engine() == "pallas":
-        from descriptools_tpu.ops.pallas import walk_vmem
-        from descriptools_tpu.ops.pallas.walk import downslope_pallas, flow_pallas
-
-        # Whole-grid-in-VMEM tier when the state fits: every sweep in one
-        # kernel launch.  Blocked multi-sweep kernels otherwise.
-        if walk_vmem.fits_vmem(*dem_f.shape, kind="downslope"):
-            down = walk_vmem.downslope_pallas_vmem(
-                dem_f, fdr, cfg.px, cfg.elevation_difference,
-                max_steps=cfg.downslope_max_steps,
-            )
-        else:
-            down = downslope_pallas(
-                dem_f, fdr, cfg.px, cfg.elevation_difference,
-                max_steps=cfg.downslope_max_steps,
-            )
-        if walk_vmem.fits_vmem(*dem_f.shape, kind="flow"):
-            fdist, indices = walk_vmem.flow_pallas_vmem(
-                fdr, river, cfg.px, max_steps=cfg.flow_max_steps
-            )
-        else:
-            fdist, indices = flow_pallas(
-                fdr, river, cfg.px, max_steps=cfg.flow_max_steps
-            )
-    else:
-        down = downslope(
-            dem_f, fdr, cfg.px, cfg.elevation_difference,
-            max_steps=cfg.downslope_max_steps,
-        )
-        fdist, indices = flow_distance_index(
-            fdr, river, cfg.px, max_steps=cfg.flow_max_steps
-        )
+    down = _engine_downslope(dem_f, fdr, cfg)
+    fdist, indices = _engine_flow(fdr, river, cfg)
     hand, river_fac = hand_and_river_fac(dem, fac, indices)
     geofi = _gfi(hand, river_fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
     lnhlh = ln_hl_h(hand, fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
@@ -114,6 +121,83 @@ def descriptor_suite(dem, fdr, fac, river, cfg: PipelineConfig):
         gfi=geofi,
         ln_hl_h=lnhlh,
     )
+
+
+def run_suite_checkpointed(dem, fdr, fac, river, cfg: PipelineConfig, ckpt_dir):
+    """Descriptor suite with durable stage-boundary checkpoints.
+
+    Each stage saves its rasters to ``ckpt_dir`` (orbax when present, atomic
+    .npz otherwise); a rerun after a kill resumes after the last COMPLETE
+    stage and reproduces the uninterrupted outputs bitwise (stages recompute
+    from exact saved inputs; see tests/test_checkpoint.py).  A manifest
+    guards against resuming with a different grid or physics config.
+
+    The fused ``descriptor_suite`` stays the fast path — use this driver
+    when wall-clock per stage is long enough that restart-from-zero hurts
+    (the 1e9-cell configs; SURVEY §5's checkpoint/resume obligation).
+    """
+    import os
+
+    from dataclasses import asdict
+
+    from descriptools_tpu.utils import checkpoint as ckpt
+
+    dem = jnp.asarray(dem)
+    fdr = jnp.asarray(fdr)
+    fac = jnp.asarray(fac)
+    river = jnp.asarray(river)
+    manifest = dict(
+        shape=list(np.asarray(dem.shape)), dem_dtype=str(dem.dtype),
+        **{k: (v if isinstance(v, (int, float, str)) else str(v))
+           for k, v in asdict(cfg).items()},
+    )
+    manifest["shape"] = [int(s) for s in manifest["shape"]]
+    ckpt.check_manifest(ckpt_dir, manifest)
+
+    state = {}
+
+    def stage(name, fn):
+        path = os.path.join(ckpt_dir, name)
+        if ckpt.stage_exists(path):
+            state.update(ckpt.load_stage(path))
+            return
+        out = {k: np.asarray(v) for k, v in fn().items()}
+        ckpt.save_stage(path, out)
+        state.update(out)
+
+    dem_f = jnp.asarray(dem, jnp.float32)
+
+    def _stencil():
+        sl = slope(dem_f, cfg.px)
+        sl_rad = jnp.where(
+            dem_f == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0)
+        )
+        return dict(
+            slope=sl,
+            slope_rad=sl_rad,
+            twi=topographic_index(fac, sl_rad, cfg.px),
+            mod_twi=modified_topographic_index(fac, sl_rad, cfg.px, cfg.n_topo),
+        )
+
+    def _walks():
+        return dict(downslope=_engine_downslope(dem_f, fdr, cfg))
+
+    def _flow():
+        fdist, indices = _engine_flow(fdr, river, cfg)
+        hand, river_fac = hand_and_river_fac(dem, fac, indices)
+        return dict(fdist=fdist, indices=indices, hand=hand, river_fac=river_fac)
+
+    def _pointwise():
+        return dict(
+            gfi=_gfi(state["hand"], state["river_fac"], cfg.n_gfi, cfg.b_gfi, cfg.px),
+            ln_hl_h=ln_hl_h(state["hand"], fac, cfg.n_gfi, cfg.b_gfi, cfg.px),
+        )
+
+    stage("stencil", _stencil)
+    stage("walks", _walks)
+    stage("flow", _flow)
+    stage("pointwise", _pointwise)
+    return state
 
 
 def classify_flood(hand, flood, under="under"):
