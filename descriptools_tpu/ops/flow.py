@@ -125,7 +125,9 @@ def resolve_absorbing_walk(fdr, absorbing, stepd, succ, max_steps, cap, tag0=Non
     absorbing2d = absorbing.reshape(rows, cols)
     stepd2d = stepd.reshape(rows, cols)
     if tag0 is None:
-        tag0 = jnp.zeros(n, jnp.float32)
+        # Derived from an input so shard_map's varying-axis tracking stays
+        # consistent across the while_loop carry.
+        tag0 = jnp.asarray(stepd, jnp.float32).reshape(-1) * 0.0
 
     # Pulls must not cross absorbing cells: zero their direction so pull8
     # keeps their own (final) values.

@@ -58,12 +58,12 @@ DOWN_BAND = 128  # downslope holds 5 state rasters, so smaller temp bands
 PAD = 8  # inert rows above and below the grid
 
 VMEM_BYTES = 128 * 1024 * 1024
-_STATE_RASTERS = {"flow": 3, "downslope": 5}
+_STATE_RASTERS = {"flow": 3, "downslope": 5, "walk3": 4}
 
 
 def fits_vmem(rows, cols, kind="downslope"):
     """True when the whole-grid kernel's state + temp headroom fits VMEM."""
-    band = FLOW_BAND if kind == "flow" else DOWN_BAND
+    band = DOWN_BAND if kind == "downslope" else FLOW_BAND
     rp, cp = _align(rows, cols, band)
     live = (_STATE_RASTERS[kind] + 2) * (rp + 2 * PAD) * cp * 4
     return live <= VMEM_BYTES
@@ -139,9 +139,23 @@ def _band_ext(ref, start, below, saved, band):
 # ---------------------------------------------------------------------------
 
 
-def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out,
+def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out, flag_ref,
                  *, px, max_steps, nbands, band):
     consts = _step_consts(px)
+
+    # Per-band residual counters (SMEM): only UNRES cells can ever change
+    # (resolved cells are write-frozen by the hit mask), so a band with no
+    # UNRES cells is at its Jacobi fixed point and is skipped EXACTLY —
+    # neighbours read its constant rows as pull sources either way.  Long-
+    # tail convergence then costs only the bands that still contain tails.
+    def init_flag(b, c):
+        _base, start, _below = _starts(b, band)
+        flag_ref[b] = jnp.sum(
+            (code_ref[pl.ds(start, band), :] == UNRES).astype(jnp.int32)
+        )
+        return c
+
+    jax.lax.fori_loop(0, nbands, init_flag, 0)
 
     def sweep(k, t0):
         gate = (t0 + k) < max_steps
@@ -149,23 +163,32 @@ def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out,
         def band_body(b, carry):
             saved_code, saved_dist = carry
             base, start, below = _starts(b, band)
-            fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-            masks = [fdr_ext == c for c in D8_CODES]
-            code_ext = _band_ext(code_ref, start, below, saved_code, band)
-            dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
-            p_code = _pull_sel(masks, code_ext)[PAD : PAD + band]
-            cand = _pull_add(masks, dist_ext, consts)[PAD : PAD + band]
-            code_b = code_ext[PAD : PAD + band]
-            dist_b = dist_ext[PAD : PAD + band]
-            hit = gate & (code_b == UNRES) & (p_code != UNRES)
-            new_code = jnp.where(hit, p_code, code_b)
-            new_dist = jnp.where(hit, cand, dist_b)
+            # Pre-update tail of this band = the next band's upper halo
+            # (read before any write, so it is pre-sweep whether or not
+            # this band updates).
+            tail = pl.multiple_of(start + band - PAD, PAD)
             nxt = (
-                code_ext[band : band + PAD],
-                dist_ext[band : band + PAD],
+                code_ref[pl.ds(tail, PAD), :],
+                dist_ref[pl.ds(tail, PAD), :],
             )
-            code_ref[pl.ds(start, band), :] = new_code
-            dist_ref[pl.ds(start, band), :] = new_dist
+
+            @pl.when(flag_ref[b] > 0)
+            def _():
+                fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
+                masks = [fdr_ext == c for c in D8_CODES]
+                code_ext = _band_ext(code_ref, start, below, saved_code, band)
+                dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
+                p_code = _pull_sel(masks, code_ext)[PAD : PAD + band]
+                cand = _pull_add(masks, dist_ext, consts)[PAD : PAD + band]
+                code_b = code_ext[PAD : PAD + band]
+                dist_b = dist_ext[PAD : PAD + band]
+                hit = gate & (code_b == UNRES) & (p_code != UNRES)
+                new_code = jnp.where(hit, p_code, code_b)
+                new_dist = jnp.where(hit, cand, dist_b)
+                code_ref[pl.ds(start, band), :] = new_code
+                dist_ref[pl.ds(start, band), :] = new_dist
+                flag_ref[b] = jnp.sum((new_code == UNRES).astype(jnp.int32))
+
             return nxt
 
         saved0 = (code_ref[pl.ds(0, PAD), :], dist_ref[pl.ds(0, PAD), :])
@@ -227,6 +250,7 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
             jax.ShapeDtypeStruct(code_p.shape, jnp.float32),
         ],
         input_output_aliases={1: 0, 2: 1},
+        scratch_shapes=[pltpu.SMEM((rp // FLOW_BAND,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
         interpret=interpret,
     )(fdr_p, code_p, dist_p)
@@ -244,10 +268,26 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(fdr_ref, z_ref, d_ref, zt_ref, res_ref, res_out,
+def _downslope_kernel(fdr_ref, z_ref, d_ref, zt_ref, res_ref, res_out, flag_ref,
                       *, px, elevation_difference, max_steps, nbands, band):
     consts = _step_consts(px)
     ed = jnp.float32(elevation_difference)
+
+    # Per-band unsaturated counters (SMEM): a cell's lookahead (D, Zt)
+    # freezes forever once its path hits a terminal (Zt goes offset-encoded,
+    # < -_HALF, and terminals self-saturate), and res is always written by
+    # that same sweep — so only Zt >= -_HALF cells can still change, and a
+    # band with none is at its fixed point and skipped EXACTLY.  This is the
+    # band-level convergence skipping that stops long-tail cells from making
+    # every band pay for every sweep.
+    def init_flag(b, c):
+        _base, start, _below = _starts(b, band)
+        flag_ref[b] = jnp.sum(
+            (zt_ref[pl.ds(start, band), :] >= -_HALF).astype(jnp.int32)
+        )
+        return c
+
+    jax.lax.fori_loop(0, nbands, init_flag, 0)
 
     def sweep(k, t0):
         gate = (t0 + k) < max_steps
@@ -255,23 +295,29 @@ def _downslope_kernel(fdr_ref, z_ref, d_ref, zt_ref, res_ref, res_out,
         def band_body(b, carry):
             saved_d, saved_zt = carry
             base, start, below = _starts(b, band)
-            fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-            masks = [fdr_ext == c for c in D8_CODES]
-            d_ext = _band_ext(d_ref, start, below, saved_d, band)
-            zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
-            pD = _pull_add(masks, d_ext, consts)[PAD : PAD + band]
-            pZt = _pull_sel(masks, zt_ext)[PAD : PAD + band]
-            D = jnp.where(gate, pD, d_ext[PAD : PAD + band])
-            Zt = jnp.where(gate, pZt, zt_ext[PAD : PAD + band])
-            z = z_ref[pl.ds(start, band), :]
-            res = res_ref[pl.ds(start, band), :]
-            hit = gate & jnp.isnan(res) & (Zt <= z - ed)
-            z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
-            res = jnp.where(hit, (z - z_at) / D, res)
-            nxt = (d_ext[band : band + PAD], zt_ext[band : band + PAD])
-            d_ref[pl.ds(start, band), :] = D
-            zt_ref[pl.ds(start, band), :] = Zt
-            res_ref[pl.ds(start, band), :] = res
+            tail = pl.multiple_of(start + band - PAD, PAD)
+            nxt = (d_ref[pl.ds(tail, PAD), :], zt_ref[pl.ds(tail, PAD), :])
+
+            @pl.when(flag_ref[b] > 0)
+            def _():
+                fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
+                masks = [fdr_ext == c for c in D8_CODES]
+                d_ext = _band_ext(d_ref, start, below, saved_d, band)
+                zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
+                pD = _pull_add(masks, d_ext, consts)[PAD : PAD + band]
+                pZt = _pull_sel(masks, zt_ext)[PAD : PAD + band]
+                D = jnp.where(gate, pD, d_ext[PAD : PAD + band])
+                Zt = jnp.where(gate, pZt, zt_ext[PAD : PAD + band])
+                z = z_ref[pl.ds(start, band), :]
+                res = res_ref[pl.ds(start, band), :]
+                hit = gate & jnp.isnan(res) & (Zt <= z - ed)
+                z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+                res = jnp.where(hit, (z - z_at) / D, res)
+                d_ref[pl.ds(start, band), :] = D
+                zt_ref[pl.ds(start, band), :] = Zt
+                res_ref[pl.ds(start, band), :] = res
+                flag_ref[b] = jnp.sum((Zt >= -_HALF).astype(jnp.int32))
+
             return nxt
 
         saved0 = (d_ref[pl.ds(0, PAD), :], zt_ref[pl.ds(0, PAD), :])
@@ -319,7 +365,9 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     rp, cp = _align(rows, cols, DOWN_BAND)
     fdr_p = _pad(fdr_eff, rp, cp, 0)
     z_p = _pad(z, rp, cp, 0.0)
-    zt_p = _pad(zt0, rp, cp, 0.0)
+    # Pad ring: terminal-encoded (saturated) so padded bands go quiescent
+    # and the per-band skip flags can clear.
+    zt_p = _pad(zt0, rp, cp, -_OFF)
     res_p = _pad(res0, rp, cp, 0.0)  # pad ring: resolved, never NaN
     d_p = jnp.zeros_like(z_p)
 
@@ -333,6 +381,7 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(z_p.shape, jnp.float32),
         input_output_aliases={4: 0},
+        scratch_shapes=[pltpu.SMEM((rp // DOWN_BAND,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
         interpret=interpret,
     )(fdr_p, z_p, d_p, zt_p, res_p)
@@ -341,3 +390,134 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     # res == 0 stops (terminal-at-start) encode their 0 directly in res0;
     # NODATA masking is the only post-pass.
     return jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)
+
+
+# ---------------------------------------------------------------------------
+# Generalised absorbing walk: (code, dist, steps) to the nearest absorber.
+# The per-shard local phase of the boundary-graph reduction
+# (parallel/boundary.py local_flow_summary) runs this kernel inside
+# shard_map — the Pallas walk tier on the multi-chip path.  Unlike the flow
+# kernel it also carries the step count (the ring composition must enforce
+# the reference's global walk cap across shard segments, flowhand.py:835).
+# ---------------------------------------------------------------------------
+
+
+def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
+                  code_out, dist_out, steps_out, flag_ref,
+                  *, px, max_steps, nbands, band):
+    consts = _step_consts(px)
+    ones = [jnp.float32(1.0)] * 8
+
+    def init_flag(b, c):
+        _base, start, _below = _starts(b, band)
+        flag_ref[b] = jnp.sum(
+            (code_ref[pl.ds(start, band), :] == UNRES).astype(jnp.int32)
+        )
+        return c
+
+    jax.lax.fori_loop(0, nbands, init_flag, 0)
+
+    def sweep(k, t0):
+        gate = (t0 + k) < max_steps
+
+        def band_body(b, carry):
+            saved_code, saved_dist, saved_steps = carry
+            base, start, below = _starts(b, band)
+            tail = pl.multiple_of(start + band - PAD, PAD)
+            nxt = (
+                code_ref[pl.ds(tail, PAD), :],
+                dist_ref[pl.ds(tail, PAD), :],
+                steps_ref[pl.ds(tail, PAD), :],
+            )
+
+            @pl.when(flag_ref[b] > 0)
+            def _():
+                fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
+                masks = [fdr_ext == c for c in D8_CODES]
+                code_ext = _band_ext(code_ref, start, below, saved_code, band)
+                dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
+                steps_ext = _band_ext(steps_ref, start, below, saved_steps, band)
+                p_code = _pull_sel(masks, code_ext)[PAD : PAD + band]
+                cand_d = _pull_add(masks, dist_ext, consts)[PAD : PAD + band]
+                cand_s = _pull_add(masks, steps_ext, ones)[PAD : PAD + band]
+                code_b = code_ext[PAD : PAD + band]
+                hit = gate & (code_b == UNRES) & (p_code != UNRES)
+                new_code = jnp.where(hit, p_code, code_b)
+                code_ref[pl.ds(start, band), :] = new_code
+                dist_ref[pl.ds(start, band), :] = jnp.where(
+                    hit, cand_d, dist_ext[PAD : PAD + band]
+                )
+                steps_ref[pl.ds(start, band), :] = jnp.where(
+                    hit, cand_s, steps_ext[PAD : PAD + band]
+                )
+                flag_ref[b] = jnp.sum((new_code == UNRES).astype(jnp.int32))
+
+            return nxt
+
+        saved0 = (
+            code_ref[pl.ds(0, PAD), :],
+            dist_ref[pl.ds(0, PAD), :],
+            steps_ref[pl.ds(0, PAD), :],
+        )
+        jax.lax.fori_loop(0, nbands, band_body, saved0)
+        return t0
+
+    def cond(carry):
+        newly, t = carry
+        return (newly > 0) & (t < max_steps)
+
+    def body(carry):
+        _newly, t = carry
+        before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        jax.lax.fori_loop(0, CHECK, sweep, t)
+        after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        return (before - after, t + CHECK)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+    code_out[:, :] = code_ref[:, :]
+    dist_out[:, :] = dist_ref[:, :]
+    steps_out[:, :] = steps_ref[:, :]
+
+
+@functools.partial(jax.jit, static_argnames=("px", "max_steps", "interpret"))
+def absorbing_walk_pallas_vmem(fdr_eff, code0, px, max_steps=20000,
+                               interpret=False):
+    """Generic absorbing walk, whole state VMEM-resident.
+
+    ``fdr_eff``: D8 codes with absorbing cells zeroed (self-pull).
+    ``code0``: int32, the cell's own flat index at absorbing cells and
+    UNRES elsewhere.  Returns (code, dist, steps): the absorber's flat
+    index (UNRES where the walk never absorbs — cycles / over-cap), the f32
+    path distance (px-weighted, same accumulation order as the XLA frontier
+    engine in ops/flow.py resolve_absorbing_walk), and the f32 step count.
+    """
+    rows, cols = fdr_eff.shape
+    rp, cp = _align(rows, cols, FLOW_BAND)
+    fdr_p = _pad(jnp.asarray(fdr_eff, jnp.int32), rp, cp, 0)
+    code_p = _pad(jnp.asarray(code0, jnp.int32), rp, cp, -1)  # pad: inert
+    dist_p = code_p.astype(jnp.float32) * 0.0
+    steps_p = dist_p
+
+    # Inside shard_map outputs must declare their varying mesh axes; inherit
+    # them from the (possibly device-varying) input.
+    vma = jax.typeof(code_p).vma
+    code, dist, steps = pl.pallas_call(
+        functools.partial(
+            _walk3_kernel, px=px, max_steps=max_steps,
+            nbands=rp // FLOW_BAND, band=FLOW_BAND,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct(code_p.shape, jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct(code_p.shape, jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct(code_p.shape, jnp.float32, vma=vma),
+        ],
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        scratch_shapes=[pltpu.SMEM((rp // FLOW_BAND,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
+        interpret=interpret,
+    )(fdr_p, code_p, dist_p, steps_p)
+
+    sl = np.s_[PAD : PAD + rows, :cols]
+    return code[sl], dist[sl], steps[sl]

@@ -42,17 +42,23 @@ def _ceil_log2(n):
     return k
 
 
-def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px, max_steps=20000):
+def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px,
+                       max_steps=20000, engine="xla", interpret=False):
     """Phase 1: resolve every cell of a (h, w) block locally.
 
-    Built on ops.flow.resolve_absorbing_walk (gather-free frontier sweeps +
-    compacted doubling) with three absorbing roles {RIVER, NAN, EXIT}; one
-    packed payload gather at the absorber finishes the records.
+    ``engine='xla'`` uses ops.flow.resolve_absorbing_walk (gather-free
+    frontier sweeps + compacted doubling); ``engine='pallas'`` runs the
+    whole local walk in one VMEM-resident Mosaic kernel
+    (ops.pallas.walk_vmem.absorbing_walk_pallas_vmem) when the block state
+    fits VMEM — the Pallas walk tier under shard_map.  Either way one packed
+    payload gather at the absorber finishes the records; integer outputs are
+    engine-independent bitwise.
 
     Returns flat per-cell arrays: status, dist, steps, tgy, tgx (exit target,
     global coords), ridx (river global flat index), rz, rfac (payloads).
     """
     from descriptools_tpu.ops.flow import resolve_absorbing_walk
+    from descriptools_tpu.ops.pallas import walk_vmem
 
     z = jnp.asarray(dem, jnp.float32)
     dy, dx, step, valid = decode(fdr)
@@ -86,15 +92,30 @@ def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px, max_steps=2
     stepd = jnp.where(role_f == STEP, stepd_all, 0.0)
     absorbing = role_f != STEP
 
-    cap = min(n, max(1024, n // 8))
-    resolved, dist, steps, final, tag = resolve_absorbing_walk(
-        fdr, absorbing, stepd, succ, max_steps, cap,
-        tag0=role_f.astype(jnp.float32),
-    )
-    status = jnp.where(resolved, tag.astype(jnp.int32), NAN)
+    if engine == "pallas" and walk_vmem.fits_vmem(h, w, kind="walk3"):
+        fdr_eff = jnp.where(absorbing.reshape(h, w), 0, fdr).astype(jnp.int32)
+        code0 = jnp.where(
+            absorbing.reshape(h, w),
+            self_idx.reshape(h, w),
+            jnp.int32(walk_vmem.UNRES),
+        )
+        code, dist, steps = walk_vmem.absorbing_walk_pallas_vmem(
+            fdr_eff, code0, px, max_steps=max_steps, interpret=interpret
+        )
+        code = code.reshape(-1)
+        dist = dist.reshape(-1)
+        steps = steps.reshape(-1)
+        resolved = code != walk_vmem.UNRES
+        final = jnp.where(resolved, code, 0)
+    else:
+        cap = min(n, max(1024, n // 8))
+        resolved, dist, steps, final, _tag = resolve_absorbing_walk(
+            fdr, absorbing, stepd, succ, max_steps, cap
+        )
 
     # One packed payload gather at the absorbing cell: its out-step length
-    # (exit cells), its D8 offsets (for the exit target), and river payloads.
+    # (exit cells), its D8 offsets (for the exit target), river payloads,
+    # and the absorber's role (the walk's status).
     exit_d_all = jnp.where(role_f == EXIT, stepd_all, 0.0)
     payload = jnp.stack(
         [
@@ -103,9 +124,11 @@ def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px, max_steps=2
             dx.reshape(-1).astype(jnp.float32),
             z.reshape(-1),
             jnp.asarray(fac).reshape(-1).astype(jnp.float32),
+            role_f.astype(jnp.float32),
         ],
         axis=-1,
     )[final]
+    status = jnp.where(resolved, payload[:, 5].astype(jnp.int32), NAN)
 
     dist = dist + payload[:, 0]
     steps = (steps + (status == EXIT)).astype(jnp.int32)

@@ -7,7 +7,7 @@ identical to the single-device path for any mesh shape; float distances
 differ only in f32 summation order.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -63,6 +63,24 @@ def _resolve_shape(arr, mesh, shape):
     return np.asarray(arr).shape
 
 
+# Program builders are lru-cached on (mesh, static params): rebuilding the
+# jitted shard_map closure per call would retrace the whole program every
+# invocation (measured as the dominant cost of repeated suite runs).
+
+
+@lru_cache(maxsize=None)
+def _slope_program(mesh, px):
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh, in_specs=P("y", "x"), out_specs=P("y", "x"),
+    )
+    def run(blk):
+        blk = jnp.asarray(blk, jnp.float32)
+        return slope_from_padded(halo_exchange(blk, 1, NODATA), px)
+
+    return run
+
+
 def sharded_slope(dem, px, mesh, shape=None, crop=True):
     """Slope stencil with 1-cell ICI halo exchange.
 
@@ -73,27 +91,20 @@ def sharded_slope(dem, px, mesh, shape=None, crop=True):
     """
     shape = _resolve_shape(dem, mesh, shape)
     dem_s = _staged(dem, mesh, NODATA, np.float32)
-
-    @jax.jit
-    @partial(
-        shard_map, mesh=mesh, in_specs=P("y", "x"), out_specs=P("y", "x"),
-    )
-    def run(blk):
-        blk = jnp.asarray(blk, jnp.float32)
-        return slope_from_padded(halo_exchange(blk, 1, NODATA), px)
-
-    out = run(dem_s)
+    out = _slope_program(mesh, float(px))(dem_s)
     return crop_from_mesh(out, shape) if crop else out
 
 
-def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px, max_steps):
+def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px,
+                max_steps, engine="xla", interpret=False):
     """shard_map body: local summary -> all-gather ring -> solve -> combine."""
     iy = lax.axis_index("y")
     ix = lax.axis_index("x")
     nx = lax.axis_size("x")
 
     local = boundary.local_flow_summary(
-        dem_blk, fdr_blk, river_blk, fac_blk, iy, ix, h, w, R, C, px
+        dem_blk, fdr_blk, river_blk, fac_blk, iy, ix, h, w, R, C, px,
+        max_steps=max_steps, engine=engine, interpret=interpret,
     )
 
     ridx_sel = jnp.asarray(boundary.ring_indices(h, w))
@@ -119,9 +130,34 @@ def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px, max_
     return fdist, indices, hand, river_fac
 
 
+@lru_cache(maxsize=None)
+def _flow_program(mesh, h, w, R, C, px, max_steps, engine, interpret):
+    body = partial(
+        _flow_block, h=h, w=w, R=R, C=C, px=px, max_steps=max_steps,
+        engine=engine, interpret=interpret,
+    )
+
+    @jax.jit
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P("y", "x"),) * 4 + (P(),),
+        out_specs=(P("y", "x"),) * 4,
+        # The pallas interpreter's internal scans trip the static
+        # varying-axis checker (jax-ml/jax vma + pallas interpret);
+        # the collectives here are explicit, so the check adds nothing.
+        check_vma=(engine != "pallas"),
+    )
+    def run(d, f, r, a, fac0):
+        return body(d, f, r, a, fac0)
+
+    return run
+
+
 def sharded_flow_hand(
     dem, fdr, river, fac, px, mesh,
     max_steps=FLOW_MAX_STEPS, shape=None, fac0=None, crop=True,
+    engine="auto", interpret=False,
 ):
     """Flow distance / river indices / HAND / river-fac via the boundary-graph
     reduction.  ``fac`` rides along as the river payload so GFI needs no
@@ -131,7 +167,12 @@ def sharded_flow_hand(
     callers pass ``shape`` and ``fac0`` (= fac.flat[0], the reference's
     river_accumulation fallback, gfi.py:141-143 — unreadable from a staged
     array without a gather).  ``crop=False`` keeps padded-grid coordinates.
+    ``engine='auto'`` runs the local walk phase in the VMEM-resident Pallas
+    kernel on TPU (per-shard, inside shard_map) and the XLA frontier engine
+    elsewhere; integer outputs are engine-independent bitwise.
     """
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = _resolve_shape(dem, mesh, shape)
     dem_s = _staged(dem, mesh, NODATA)
     fdr_s = _staged(fdr, mesh, 0)
@@ -146,23 +187,13 @@ def sharded_flow_hand(
     h, w = R // ny, C // nx
     if fac0 is None:
         fac0 = float(np.asarray(fac).reshape(-1)[0])
-    fac0 = jnp.float32(fac0)
 
-    body = partial(
-        _flow_block, h=h, w=w, R=R, C=C, px=px, max_steps=max_steps, fac0=fac0
+    run = _flow_program(
+        mesh, h, w, R, C, float(px), int(max_steps), engine, bool(interpret)
     )
-
-    @jax.jit
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(P("y", "x"),) * 4,
-        out_specs=(P("y", "x"),) * 4,
+    fdist, indices, hand, river_fac = run(
+        dem_s, fdr_s, river_s, fac_s, jnp.float32(fac0)
     )
-    def run(d, f, r, a):
-        return body(d, f, r, a)
-
-    fdist, indices, hand, river_fac = run(dem_s, fdr_s, river_s, fac_s)
     if not crop:
         return fdist, indices, hand, river_fac
     indices = crop_from_mesh(indices, shape)
@@ -178,6 +209,36 @@ def sharded_flow_hand(
         crop_from_mesh(hand, shape),
         crop_from_mesh(river_fac, shape),
     )
+
+
+@lru_cache(maxsize=None)
+def _downslope_program(mesh, halo, h, w, R, C, px, elevation_difference,
+                       max_steps):
+    @jax.jit
+    @partial(
+        shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
+        out_specs=(P("y", "x"), P("y", "x")),
+    )
+    def run(dem_blk, fdr_blk):
+        iy = lax.axis_index("y")
+        ix = lax.axis_index("x")
+        dem_ext = halo_exchange(
+            jnp.asarray(dem_blk, jnp.float32), halo, NODATA
+        )
+        fdr_ext = halo_exchange(fdr_blk, halo, 0)
+        tr0 = trunc_cells(
+            dem_ext, fdr_ext, iy * h - halo, ix * w - halo, R, C
+        )
+        out, tr = _downslope_jacobi(
+            dem_ext, fdr_ext, px, elevation_difference, max_steps,
+            trunc0=tr0,
+        )
+        return (
+            out[halo:-halo, halo:-halo],
+            tr[halo:-halo, halo:-halo],
+        )
+
+    return run
 
 
 def sharded_downslope(
@@ -204,35 +265,12 @@ def sharded_downslope(
     h, w = R // ny, C // nx
     halo = int(min(halo, max(R, C), max_steps + 1))
 
-    def build(halo):
-        @jax.jit
-        @partial(
-            shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x")),
-            out_specs=(P("y", "x"), P("y", "x")),
-        )
-        def run(dem_blk, fdr_blk):
-            iy = lax.axis_index("y")
-            ix = lax.axis_index("x")
-            dem_ext = halo_exchange(
-                jnp.asarray(dem_blk, jnp.float32), halo, NODATA
-            )
-            fdr_ext = halo_exchange(fdr_blk, halo, 0)
-            tr0 = trunc_cells(
-                dem_ext, fdr_ext, iy * h - halo, ix * w - halo, R, C
-            )
-            out, tr = _downslope_jacobi(
-                dem_ext, fdr_ext, px, elevation_difference, max_steps,
-                trunc0=tr0,
-            )
-            return (
-                out[halo:-halo, halo:-halo],
-                tr[halo:-halo, halo:-halo],
-            )
-
-        return run
-
     while True:
-        out, tr = build(halo)(dem_s, fdr_s)
+        run = _downslope_program(
+            mesh, halo, h, w, R, C,
+            float(px), float(elevation_difference), int(max_steps),
+        )
+        out, tr = run(dem_s, fdr_s)
         # One scalar readback decides convergence (halo is compile-static,
         # so the retry is a host-level loop; each halo compiles once).
         # jnp.any reduces globally to a replicated scalar, so every process
@@ -273,6 +311,7 @@ def sharded_suite(
     fdist, indices, hand, river_fac = sharded_flow_hand(
         dem_s, fdr_s, river_s, fac_s, cfg.px, mesh,
         max_steps=cfg.flow_max_steps, shape=shape, fac0=fac0, crop=crop,
+        engine=cfg.resolve_engine(),
     )
     down = sharded_downslope(
         dem_s, fdr_s, cfg.px, cfg.elevation_difference, mesh,

@@ -76,13 +76,17 @@ def tile_map(fn, arrays, fills, tile_rows, tile_cols, halo=0, out_dtype=np.float
 
 
 def tiled_flow_hand(dem, fdr, river, fac, px, tile_rows=2048, tile_cols=2048,
-                    max_steps=FLOW_MAX_STEPS):
+                    max_steps=FLOW_MAX_STEPS, engine="auto"):
     """Flow distance / indices / HAND / river-fac, one tile on device at a
     time, stitched exactly via the boundary-graph ring reduction.
 
     Bitwise-identical indices/HAND to the in-core path (same machinery as
     the sharded path, serial over tiles instead of concurrent over chips).
+    ``engine='auto'`` runs each tile's local walk in the VMEM-resident
+    Pallas kernel on TPU.
     """
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
     shape = np.asarray(dem).shape
     ny, nx, R, C = _tile_grid(shape, tile_rows, tile_cols)
     if R * C >= 1 << 31:
@@ -95,7 +99,7 @@ def tiled_flow_hand(dem, fdr, river, fac, px, tile_rows=2048, tile_cols=2048,
 
     local_fn = jax.jit(
         partial(boundary.local_flow_summary, h=h, w=w, R=R, C=C, px=px,
-                max_steps=max_steps)
+                max_steps=max_steps, engine=engine)
     )
     ring_sel = boundary.ring_indices(h, w)
 

@@ -10,10 +10,12 @@ scaling *behaviour* (collective volume, boundary-graph growth, padding
 waste), not ICI silicon.  On a pod slice the same script runs unchanged on
 real chips.
 
-Usage:  python scripts/weak_scaling.py [--per-shard 512] [--iters 3]
+Usage:  python scripts/weak_scaling.py [--per-shard 512 1024] [--iters 5]
 
-Prints one line per mesh shape plus a JSON summary with parallel efficiency
-relative to the single-device run.
+Prints one line per (mesh, size) plus a JSON summary (medians of --iters
+timed runs) with parallel efficiency relative to the single-device run and
+the analytic collective volume per suite invocation (halo strips + ring
+all-gather), and writes WEAK_SCALING.json at the repo root.
 """
 
 import argparse
@@ -41,11 +43,34 @@ from descriptools_tpu.utils.synthetic import synthetic_basin
 from descriptools_tpu.utils.timing import timeit
 
 
+def collective_volume_bytes(ny, nx, h, w, downslope_halo=64):
+    """Analytic bytes moved by collectives per suite invocation.
+
+    - slope: 1-cell halo of one f32 raster (row + col phases, corners via
+      the two-phase trick).
+    - downslope: ``halo``-cell halo of two rasters (dem f32 + fdr i32),
+      once per retry pass (counted for the first pass).
+    - flow: the ring all-gather — every shard contributes 2(h+w) records
+      of 8 fields (f32/i32) gathered to all ny*nx devices.
+    """
+    n = ny * nx
+
+    def halo_bytes(d, rasters):
+        y_phase = 2 * (ny - 1) * nx * d * w
+        x_phase = 2 * (nx - 1) * ny * d * (h + 2 * d)
+        return 4 * rasters * (y_phase + x_phase)
+
+    dh = min(downslope_halo, h, w)
+    ring_len = 2 * (h + w)
+    ring = n * ring_len * 8 * 4 * (n - 1)  # all_gather: each record to n-1 peers
+    return int(halo_bytes(1, 1) + halo_bytes(dh, 2) + ring)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--per-shard", type=int, default=512,
-                    help="rows=cols of each shard's subgrid")
-    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--per-shard", type=int, nargs="+", default=[512, 1024],
+                    help="rows=cols of each shard's subgrid (one run per size)")
+    ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
     devices = jax.devices()
@@ -54,33 +79,76 @@ def main():
     cfg = PipelineConfig(engine="xla")
 
     results = []
-    t1 = None
-    for ny, nx in shapes:
-        mesh = make_mesh(shape=(ny, nx), devices=devices[: ny * nx])
-        rows, cols = args.per_shard * ny, args.per_shard * nx
-        dem, fdr, river, fac = synthetic_basin(rows, cols, seed=3)
-        dem = dem.astype(np.int32)
-        fac = fac.astype(np.int32)
+    for per_shard in args.per_shard:
+        t1 = None
+        for ny, nx in shapes:
+            mesh = make_mesh(shape=(ny, nx), devices=devices[: ny * nx])
+            rows, cols = per_shard * ny, per_shard * nx
+            dem, fdr, river, fac = synthetic_basin(rows, cols, seed=3)
+            dem = dem.astype(np.int32)
+            fac = fac.astype(np.int32)
 
-        t = timeit(
-            lambda: sharded_suite(dem, fdr, fac, river, cfg, mesh),
-            warmup=1, iters=args.iters,
-        )
-        cells = rows * cols
-        n = ny * nx
-        if t1 is None:
-            t1 = t
-        eff = (t1 / t) if n == 1 else (t1 / t)
-        results.append(
-            dict(mesh=f"{ny}x{nx}", devices=n, cells=cells,
-                 seconds=round(t, 4),
-                 grid_points_per_s=round(cells / t, 1),
-                 weak_scaling_efficiency=round(t1 / t, 4))
-        )
-        print(f"mesh {ny}x{nx}  {rows}x{cols}  {t*1e3:8.1f} ms  "
-              f"{cells/t/1e6:7.2f} Mgp/s  eff {t1/t:.3f}")
+            t = timeit(
+                lambda: sharded_suite(dem, fdr, fac, river, cfg, mesh),
+                warmup=1, iters=args.iters,
+            )
+            cells = rows * cols
+            n = ny * nx
+            if t1 is None:
+                t1 = t
+            # Decomposition overhead: the SAME global grid on one device.
+            # Both runs get the full host, so t_mesh / t_single isolates
+            # what the decomposition itself costs (halo exchange, ring
+            # reduction, padding) — the one scaling quantity a
+            # core-saturated host can measure honestly.
+            if n > 1:
+                mesh1 = make_mesh(shape=(1, 1), devices=devices[:1])
+                t_single = timeit(
+                    lambda: sharded_suite(dem, fdr, fac, river, cfg, mesh1),
+                    warmup=1, iters=args.iters,
+                )
+                overhead = round(t / t_single, 4)
+            else:
+                overhead = 1.0
+            results.append(
+                dict(mesh=f"{ny}x{nx}", devices=n, per_shard=per_shard,
+                     cells=cells, seconds=round(t, 4),
+                     grid_points_per_s=round(cells / t, 1),
+                     weak_scaling_efficiency=round(t1 / t, 4),
+                     decomposition_overhead_vs_single_device=overhead,
+                     collective_bytes=collective_volume_bytes(
+                         ny, nx, rows // ny, cols // nx))
+            )
+            print(f"per-shard {per_shard}^2  mesh {ny}x{nx}  {rows}x{cols}  "
+                  f"{t*1e3:8.1f} ms  {cells/t/1e6:7.2f} Mgp/s  eff {t1/t:.3f}  "
+                  f"ovh {overhead:.3f}")
 
-    print(json.dumps({"weak_scaling": results}))
+    # A virtual n-device CPU mesh on an m-core host serialises at least
+    # n/m-fold, so raw efficiency is bounded by m/n — report the bound so
+    # the numbers read as overhead-vs-serialisation, not ICI scaling.
+    ncores = os.cpu_count() or 1
+    for r in results:
+        ceiling = min(1.0, ncores / r["devices"])
+        r["host_serialization_ceiling"] = round(ceiling, 4)
+        r["fraction_of_ceiling"] = round(
+            r["weak_scaling_efficiency"] / ceiling, 4
+        )
+    summary = {
+        "iters": args.iters,
+        "metric": "median",
+        "host_cores": ncores,
+        "note": (
+            "virtual CPU devices measure framework overhead "
+            "(collectives, padding, boundary graph), not ICI scaling; "
+            "efficiency is capped at host_cores/devices here"
+        ),
+        "weak_scaling": results,
+    }
+    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                       "WEAK_SCALING.json")
+    with open(out, "w") as fh:
+        json.dump(summary, fh, indent=1)
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

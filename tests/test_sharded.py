@@ -60,6 +60,24 @@ def test_sharded_flow_matches_single(basin, mesh_idx):
     np.testing.assert_allclose(np.asarray(river_fac), want_rf, rtol=1e-6)
 
 
+@pytest.mark.parametrize("mesh_idx", [0, 2])
+def test_sharded_flow_pallas_engine_bitwise(basin, mesh_idx):
+    """The Pallas walk tier under shard_map (interpret mode on CPU) must be
+    bitwise on integers vs the oracle, like the XLA local phase."""
+    dem, fdr, river, fac = basin
+    mesh = meshes()[mesh_idx]
+    fdist, indices, hand, _ = sharded_flow_hand(
+        dem.astype(np.int32), fdr, river, fac.astype(np.int32), PX, mesh,
+        engine="pallas", interpret=True,
+    )
+    want_d, want_i = oracle.flow_distance_index_oracle(fdr, river, PX)
+    np.testing.assert_array_equal(np.asarray(indices), want_i)
+    np.testing.assert_array_equal(
+        np.asarray(hand), oracle.hand_oracle(dem.astype(np.int32), want_i)
+    )
+    np.testing.assert_allclose(np.asarray(fdist), want_d, rtol=1e-4, atol=1e-2)
+
+
 def test_sharded_flow_uneven_pad(basin):
     # 72x100 over a (4,2)? already even; force padding with an odd grid.
     dem, fdr, river, fac = synthetic_basin(45, 53, seed=5)
