@@ -21,9 +21,14 @@ from descriptools_tpu.ops import (
     slope,
     topographic_index,
 )
-from descriptools_tpu.ops.flow import flow_distance_index, hand_and_river_fac
+from descriptools_tpu.ops.flow import hand_and_river_fac
 from descriptools_tpu.ops.gfi import gfi
-from descriptools_tpu.pipeline import PipelineConfig, descriptor_suite
+from descriptools_tpu.pipeline import (
+    PipelineConfig,
+    _engine_downslope,
+    _engine_flow,
+    descriptor_suite,
+)
 from descriptools_tpu.utils.timing import timeit
 
 
@@ -53,7 +58,7 @@ def main():
 
     sl = slope(dem_f, cfg.px)
     sl_rad = jnp.where(dem_f == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
-    fdist, indices = flow_distance_index(fdr_d, river_d, cfg.px)
+    fdist, indices = _engine_flow(fdr_d, river_d, cfg)
     hand, river_fac = hand_and_river_fac(dem_d, fac_d, indices)
 
     stages["slope"] = timeit(lambda: slope(dem_f, cfg.px))
@@ -61,12 +66,9 @@ def main():
     stages["mod_twi"] = timeit(
         lambda: modified_topographic_index(fac_d, sl_rad, cfg.px, cfg.n_topo)
     )
-    stages["downslope"] = timeit(
-        lambda: downslope(dem_f, fdr_d, cfg.px, cfg.elevation_difference)
-    )
-    stages["flow_distance_index"] = timeit(
-        lambda: flow_distance_index(fdr_d, river_d, cfg.px)
-    )
+    # Walks via the SAME engine tier the suite selects (pallas on TPU).
+    stages["downslope"] = timeit(lambda: _engine_downslope(dem_f, fdr_d, cfg))
+    stages["flow_distance_index"] = timeit(lambda: _engine_flow(fdr_d, river_d, cfg))
     stages["hand_and_river_fac"] = timeit(
         lambda: hand_and_river_fac(dem_d, fac_d, indices)
     )
