@@ -11,13 +11,17 @@ once.
 Mosaic materialises full-array temporaries for vector expressions, so a
 naive whole-grid sweep needs ~25 grid-sized buffers (measured: 376 MB for
 the basin).  The kernels therefore keep only the *state* rasters grid-sized
-and run each sweep **in place over row bands**: band b is updated from
+and run **PAD sweeps per in-place band visit**: band b's window is
 
-    [ 8-row pre-sweep tail of band b-1 (carried) | band b | head of band b+1 ]
+    [ PAD-row pre-visit tail of band b-1 (carried) | band b | head of band b+1 ]
 
-— everything read is pre-sweep (own rows are read before the write, rows
-below are not yet processed, rows above come from the carried tail), so the
-update is bitwise-identical Jacobi while temporaries are band-sized.
+— everything read is pre-visit (own rows are read before the write, rows
+below are not yet processed, rows above come from the carried tail), and a
+PAD-row halo keeps the band interior wavefront-exact for exactly PAD sweeps
+(information moves one row per sweep), so the visit is bitwise-identical
+Jacobi while temporaries stay band-sized and window assembly / masks /
+writes amortise PAD-fold.  Per-band quiescence flags (SMEM) skip bands at
+their fixed point, so long-tail convergence only pays for active bands.
 
 State-diet tricks relative to the blocked kernels:
 - no ``stepd`` raster: the per-cell step length is a per-direction constant
@@ -53,9 +57,9 @@ from descriptools_tpu.ops.pallas.walk import _OFF, _HALF, UNRES, _roll
 # Sweeps per convergence check (a full-grid reduction ~ one sweep's cost,
 # so checking every CHECK sweeps keeps the overhead ~1/CHECK).
 CHECK = 64
-FLOW_BAND = 256  # rows per in-place band; temporaries are (band+16, cols)
-DOWN_BAND = 128  # downslope holds 5 state rasters, so smaller temp bands
-PAD = 8  # inert rows above and below the grid
+FLOW_BAND = 128  # rows per in-place band; temporaries are (band+16, cols)
+DOWN_BAND = 64  # downslope holds 5 state rasters, so smaller temp bands
+PAD = 8  # inert rows above and below the grid; also sweeps per band visit
 
 VMEM_BYTES = 128 * 1024 * 1024
 _STATE_RASTERS = {"flow": 3, "downslope": 5, "walk3": 4}
@@ -157,14 +161,16 @@ def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out, flag_ref,
 
     jax.lax.fori_loop(0, nbands, init_flag, 0)
 
-    def sweep(k, t0):
-        gate = (t0 + k) < max_steps
-
+    # One "visit" = PAD sweeps over each band: the carried PAD-row pre-visit
+    # halo keeps the band interior wavefront-exact for exactly PAD sweeps
+    # (information moves one row per sweep), so window assembly, masks,
+    # writes and flag reductions amortise PAD-fold over the bulk phase.
+    def visit(v, t0):
         def band_body(b, carry):
             saved_code, saved_dist = carry
             base, start, below = _starts(b, band)
-            # Pre-update tail of this band = the next band's upper halo
-            # (read before any write, so it is pre-sweep whether or not
+            # Pre-visit tail of this band = the next band's upper halo
+            # (read before any write, so it is pre-visit whether or not
             # this band updates).
             tail = pl.multiple_of(start + band - PAD, PAD)
             nxt = (
@@ -178,22 +184,31 @@ def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out, flag_ref,
                 masks = [fdr_ext == c for c in D8_CODES]
                 code_ext = _band_ext(code_ref, start, below, saved_code, band)
                 dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
-                p_code = _pull_sel(masks, code_ext)[PAD : PAD + band]
-                cand = _pull_add(masks, dist_ext, consts)[PAD : PAD + band]
-                code_b = code_ext[PAD : PAD + band]
-                dist_b = dist_ext[PAD : PAD + band]
-                hit = gate & (code_b == UNRES) & (p_code != UNRES)
-                new_code = jnp.where(hit, p_code, code_b)
-                new_dist = jnp.where(hit, cand, dist_b)
+
+                def sweep_k(k, st):
+                    code_w, dist_w = st
+                    gate = (t0 + k) < max_steps
+                    p_code = _pull_sel(masks, code_w)
+                    cand = _pull_add(masks, dist_w, consts)
+                    hit = gate & (code_w == UNRES) & (p_code != UNRES)
+                    return (
+                        jnp.where(hit, p_code, code_w),
+                        jnp.where(hit, cand, dist_w),
+                    )
+
+                code_ext, dist_ext = jax.lax.fori_loop(
+                    0, PAD, sweep_k, (code_ext, dist_ext)
+                )
+                new_code = code_ext[PAD : PAD + band]
                 code_ref[pl.ds(start, band), :] = new_code
-                dist_ref[pl.ds(start, band), :] = new_dist
+                dist_ref[pl.ds(start, band), :] = dist_ext[PAD : PAD + band]
                 flag_ref[b] = jnp.sum((new_code == UNRES).astype(jnp.int32))
 
             return nxt
 
         saved0 = (code_ref[pl.ds(0, PAD), :], dist_ref[pl.ds(0, PAD), :])
         jax.lax.fori_loop(0, nbands, band_body, saved0)
-        return t0
+        return t0 + PAD
 
     def cond(carry):
         newly, t = carry
@@ -202,9 +217,9 @@ def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out, flag_ref,
     def body(carry):
         _newly, t = carry
         before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
-        jax.lax.fori_loop(0, CHECK, sweep, t)
+        t = jax.lax.fori_loop(0, CHECK // PAD, visit, t)
         after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
-        return (before - after, t + CHECK)
+        return (before - after, t)
 
     jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
     code_out[:, :] = code_ref[:, :]
@@ -268,30 +283,45 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(fdr_ref, z_ref, d_ref, zt_ref, res_ref, res_out, flag_ref,
+def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
+                      res_out, flag_ref,
                       *, px, elevation_difference, max_steps, nbands, band):
     consts = _step_consts(px)
     ed = jnp.float32(elevation_difference)
 
-    # Per-band unsaturated counters (SMEM): a cell's lookahead (D, Zt)
-    # freezes forever once its path hits a terminal (Zt goes offset-encoded,
-    # < -_HALF, and terminals self-saturate), and res is always written by
-    # that same sweep — so only Zt >= -_HALF cells can still change, and a
-    # band with none is at its fixed point and skipped EXACTLY.  This is the
-    # band-level convergence skipping that stops long-tail cells from making
-    # every band pay for every sweep.
+    # Per-band residual counters (SMEM), two regimes:
+    #
+    # mono == 1 (z non-increasing along every D8 step — true for real
+    # hydrological fdr; checked by the wrapper): count UNFROZEN cells
+    # (res still NaN).  Exactness: an unfrozen cell u's sweep-t value
+    # depends on succ^k(u)'s table at sweep t-k, and under monotone z the
+    # downstream cell's threshold is never higher, so succ^k(u) is itself
+    # unfrozen at sweep t-k (its band was live; the value is genuine);
+    # after u freezes, first-hit res ignores later garbage.  Bands full of
+    # frozen cells can therefore go stale safely.
+    #
+    # mono == 0 (adversarial fdr): count UNSATURATED cells (lookahead not
+    # yet terminal-encoded); saturation is monotone and saturated cells
+    # never change, so skipping all-saturated bands is unconditionally
+    # exact — just far less aggressive.
+    def band_count(zt_c, res_c):
+        unfrozen = jnp.sum(jnp.isnan(res_c).astype(jnp.int32))
+        unsat = jnp.sum((zt_c >= -_HALF).astype(jnp.int32))
+        return jnp.where(mono_ref[0, 0] == 1, unfrozen, unsat)
+
     def init_flag(b, c):
         _base, start, _below = _starts(b, band)
-        flag_ref[b] = jnp.sum(
-            (zt_ref[pl.ds(start, band), :] >= -_HALF).astype(jnp.int32)
+        flag_ref[b] = band_count(
+            zt_ref[pl.ds(start, band), :], res_ref[pl.ds(start, band), :]
         )
         return c
 
     jax.lax.fori_loop(0, nbands, init_flag, 0)
 
-    def sweep(k, t0):
-        gate = (t0 + k) < max_steps
-
+    # PAD sweeps per band visit (see the flow kernel note): the res raster
+    # rides the visit as a window-sized carry so first-hit freezing stays
+    # per-global-sweep exact; halo-region res updates are discarded.
+    def visit(v, t0):
         def band_body(b, carry):
             saved_d, saved_zt = carry
             base, start, below = _starts(b, band)
@@ -304,32 +334,43 @@ def _downslope_kernel(fdr_ref, z_ref, d_ref, zt_ref, res_ref, res_out, flag_ref,
                 masks = [fdr_ext == c for c in D8_CODES]
                 d_ext = _band_ext(d_ref, start, below, saved_d, band)
                 zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
-                pD = _pull_add(masks, d_ext, consts)[PAD : PAD + band]
-                pZt = _pull_sel(masks, zt_ext)[PAD : PAD + band]
-                D = jnp.where(gate, pD, d_ext[PAD : PAD + band])
-                Zt = jnp.where(gate, pZt, zt_ext[PAD : PAD + band])
-                z = z_ref[pl.ds(start, band), :]
-                res = res_ref[pl.ds(start, band), :]
-                hit = gate & jnp.isnan(res) & (Zt <= z - ed)
-                z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
-                res = jnp.where(hit, (z - z_at) / D, res)
-                d_ref[pl.ds(start, band), :] = D
-                zt_ref[pl.ds(start, band), :] = Zt
-                res_ref[pl.ds(start, band), :] = res
-                flag_ref[b] = jnp.sum((Zt >= -_HALF).astype(jnp.int32))
+                z_ext = z_ref[pl.ds(base, band + 2 * PAD), :]
+                res_ext = res_ref[pl.ds(base, band + 2 * PAD), :]
+                thresh = z_ext - ed
+
+                def sweep_k(k, st):
+                    D, Zt, res = st
+                    gate = (t0 + k) < max_steps
+                    pD = _pull_add(masks, D, consts)
+                    pZt = _pull_sel(masks, Zt)
+                    D = jnp.where(gate, pD, D)
+                    Zt = jnp.where(gate, pZt, Zt)
+                    hit = gate & jnp.isnan(res) & (Zt <= thresh)
+                    z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+                    res = jnp.where(hit, (z_ext - z_at) / D, res)
+                    return (D, Zt, res)
+
+                D, Zt, res = jax.lax.fori_loop(
+                    0, PAD, sweep_k, (d_ext, zt_ext, res_ext)
+                )
+                Zt_c = Zt[PAD : PAD + band]
+                res_c = res[PAD : PAD + band]
+                d_ref[pl.ds(start, band), :] = D[PAD : PAD + band]
+                zt_ref[pl.ds(start, band), :] = Zt_c
+                res_ref[pl.ds(start, band), :] = res_c
+                flag_ref[b] = band_count(Zt_c, res_c)
 
             return nxt
 
         saved0 = (d_ref[pl.ds(0, PAD), :], zt_ref[pl.ds(0, PAD), :])
         jax.lax.fori_loop(0, nbands, band_body, saved0)
-        return t0
+        return t0 + PAD
 
     def cond(carry):
         return jnp.any(jnp.isnan(res_ref[:, :])) & (carry < max_steps)
 
     def body(t):
-        jax.lax.fori_loop(0, CHECK, sweep, t)
-        return t + CHECK
+        return jax.lax.fori_loop(0, CHECK // PAD, visit, t)
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
     # Cap: cells still walking take the partial at the horizon
@@ -354,6 +395,7 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     Bit-identical to ops.downslope._downslope_jacobi (downslope.py:434-532
     spec): same pull order, same f32 accumulation, same cap semantics.
     """
+    from descriptools_tpu.d8 import pull8
     from descriptools_tpu.ops.downslope import _terminal_and_step
 
     rows, cols = dem.shape
@@ -361,6 +403,11 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
     zt0 = jnp.where(terminal, z - _OFF, z)
     res0 = jnp.where(terminal, 0.0, jnp.float32(jnp.nan))
+    # Monotone-descent probe (terminal cells self-pull, so they compare
+    # equal): selects the aggressive frozen-cell band-skip rule when every
+    # D8 step is non-increasing in z — see _downslope_kernel.
+    (z_succ,) = pull8(fdr_eff, [z], [0.0])
+    mono = jnp.all(z_succ <= z).astype(jnp.int32).reshape(1, 1)
 
     rp, cp = _align(rows, cols, DOWN_BAND)
     fdr_p = _pad(fdr_eff, rp, cp, 0)
@@ -377,14 +424,15 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
             elevation_difference=elevation_difference, max_steps=max_steps,
             nbands=rp // DOWN_BAND, band=DOWN_BAND,
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(z_p.shape, jnp.float32),
-        input_output_aliases={4: 0},
+        input_output_aliases={5: 0},
         scratch_shapes=[pltpu.SMEM((rp // DOWN_BAND,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
         interpret=interpret,
-    )(fdr_p, z_p, d_p, zt_p, res_p)
+    )(mono, fdr_p, z_p, d_p, zt_p, res_p)
 
     res = res[PAD : PAD + rows, :cols]
     # res == 0 stops (terminal-at-start) encode their 0 directly in res0;
@@ -417,9 +465,7 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
 
     jax.lax.fori_loop(0, nbands, init_flag, 0)
 
-    def sweep(k, t0):
-        gate = (t0 + k) < max_steps
-
+    def visit(v, t0):
         def band_body(b, carry):
             saved_code, saved_dist, saved_steps = carry
             base, start, below = _starts(b, band)
@@ -437,19 +483,27 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
                 code_ext = _band_ext(code_ref, start, below, saved_code, band)
                 dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
                 steps_ext = _band_ext(steps_ref, start, below, saved_steps, band)
-                p_code = _pull_sel(masks, code_ext)[PAD : PAD + band]
-                cand_d = _pull_add(masks, dist_ext, consts)[PAD : PAD + band]
-                cand_s = _pull_add(masks, steps_ext, ones)[PAD : PAD + band]
-                code_b = code_ext[PAD : PAD + band]
-                hit = gate & (code_b == UNRES) & (p_code != UNRES)
-                new_code = jnp.where(hit, p_code, code_b)
+
+                def sweep_k(k, st):
+                    code_w, dist_w, steps_w = st
+                    gate = (t0 + k) < max_steps
+                    p_code = _pull_sel(masks, code_w)
+                    cand_d = _pull_add(masks, dist_w, consts)
+                    cand_s = _pull_add(masks, steps_w, ones)
+                    hit = gate & (code_w == UNRES) & (p_code != UNRES)
+                    return (
+                        jnp.where(hit, p_code, code_w),
+                        jnp.where(hit, cand_d, dist_w),
+                        jnp.where(hit, cand_s, steps_w),
+                    )
+
+                code_ext, dist_ext, steps_ext = jax.lax.fori_loop(
+                    0, PAD, sweep_k, (code_ext, dist_ext, steps_ext)
+                )
+                new_code = code_ext[PAD : PAD + band]
                 code_ref[pl.ds(start, band), :] = new_code
-                dist_ref[pl.ds(start, band), :] = jnp.where(
-                    hit, cand_d, dist_ext[PAD : PAD + band]
-                )
-                steps_ref[pl.ds(start, band), :] = jnp.where(
-                    hit, cand_s, steps_ext[PAD : PAD + band]
-                )
+                dist_ref[pl.ds(start, band), :] = dist_ext[PAD : PAD + band]
+                steps_ref[pl.ds(start, band), :] = steps_ext[PAD : PAD + band]
                 flag_ref[b] = jnp.sum((new_code == UNRES).astype(jnp.int32))
 
             return nxt
@@ -460,7 +514,7 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
             steps_ref[pl.ds(0, PAD), :],
         )
         jax.lax.fori_loop(0, nbands, band_body, saved0)
-        return t0
+        return t0 + PAD
 
     def cond(carry):
         newly, t = carry
@@ -469,9 +523,9 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
     def body(carry):
         _newly, t = carry
         before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
-        jax.lax.fori_loop(0, CHECK, sweep, t)
+        t = jax.lax.fori_loop(0, CHECK // PAD, visit, t)
         after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
-        return (before - after, t + CHECK)
+        return (before - after, t)
 
     jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
     code_out[:, :] = code_ref[:, :]
