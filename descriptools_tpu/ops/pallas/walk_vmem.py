@@ -86,32 +86,64 @@ def _pad(arr, rp, cp, fill):
     )
 
 
-def _pull_sel(masks, arr):
-    """pull8 on a band window — same select order as d8.pull8."""
+def _visit_masks(fdr_ext):
+    """Per-visit pull-select masks, precomputed once and shared by every
+    sweep and every pulled array of the visit.
+
+    Layout (D8 codes E=1 SE=2 S=4 SW=8 W=16 NW=32 N=64 NE=128):
+      - ``e``/``w``: dy=0 direct selects;
+      - ``dn``: (rolled-SE, rolled-S, any-down) for the dy=+1 group — the
+        group select runs at the SOURCE row (masks pre-rolled by +1), then
+        ONE sublane roll moves the whole group, cutting the per-array
+        sublane rolls from six to two;
+      - ``up``: likewise for dy=-1 (NW, N, NE).
+    Select chains are disjoint (one D8 code per cell), so regrouping is
+    bitwise-identical to the canonical d8.pull8 order.
+    """
+    m = {int(c): fdr_ext == c for c in D8_CODES}
+    dn_any = m[2] | m[4] | m[8]
+    up_any = m[32] | m[64] | m[128]
+    # Mosaic can only rotate 32-bit data: roll the int fdr once per group
+    # and compare post-roll instead of rolling bool masks.
+    fdr_dn = _roll(fdr_ext, 1, 0)  # fdr of the row above, at the source row
+    fdr_up = _roll(fdr_ext, -1, 0)
+    return dict(
+        e=m[1], w=m[16],
+        dn=(fdr_dn == 2, fdr_dn == 4, dn_any),
+        up=(fdr_up == 32, fdr_up == 64, up_any),
+    )
+
+
+def _pull_sel(mp, arr):
+    """pull8 on a band window — bitwise-equal values to d8.pull8."""
     east = _roll(arr, -1, 1)
     west = _roll(arr, 1, 1)
-    by_dx = {-1: west, 0: arr, 1: east}
-    acc = arr
-    for m, dy, dx in zip(masks, D8_DY, D8_DX):
-        v = by_dx[dx]
-        if dy:
-            v = _roll(v, -dy, 0)
-        acc = jnp.where(m, v, acc)
+    acc = jnp.where(mp["e"], east, arr)
+    acc = jnp.where(mp["w"], west, acc)
+    m_se, m_s, dn_any = mp["dn"]
+    g = jnp.where(m_se, east, jnp.where(m_s, arr, west))
+    acc = jnp.where(dn_any, _roll(g, -1, 0), acc)
+    m_nw, m_n, up_any = mp["up"]
+    g = jnp.where(m_nw, west, jnp.where(m_n, arr, east))
+    acc = jnp.where(up_any, _roll(g, 1, 0), acc)
     return acc
 
 
-def _pull_add(masks, arr, consts):
+def _pull_add(mp, arr, consts):
     """Fused ``step + value-at-successor``: per direction the step length is
-    a constant, so the add rides the select chain (no stepd raster)."""
+    a constant, so the add rides the select chain (no stepd raster).
+    ``consts`` follows D8_CODES order."""
+    cE, cSE, cS, cSW, cW, cNW, cN, cNE = consts
     east = _roll(arr, -1, 1)
     west = _roll(arr, 1, 1)
-    by_dx = {-1: west, 0: arr, 1: east}
-    acc = arr
-    for m, dy, dx, c in zip(masks, D8_DY, D8_DX, consts):
-        v = by_dx[dx]
-        if dy:
-            v = _roll(v, -dy, 0)
-        acc = jnp.where(m, c + v, acc)
+    acc = jnp.where(mp["e"], cE + east, arr)
+    acc = jnp.where(mp["w"], cW + west, acc)
+    m_se, m_s, dn_any = mp["dn"]
+    g = jnp.where(m_se, cSE + east, jnp.where(m_s, cS + arr, cSW + west))
+    acc = jnp.where(dn_any, _roll(g, -1, 0), acc)
+    m_nw, m_n, up_any = mp["up"]
+    g = jnp.where(m_nw, cNW + west, jnp.where(m_n, cN + arr, cNE + east))
+    acc = jnp.where(up_any, _roll(g, 1, 0), acc)
     return acc
 
 
@@ -181,23 +213,25 @@ def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out, flag_ref,
             @pl.when(flag_ref[b] > 0)
             def _():
                 fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-                masks = [fdr_ext == c for c in D8_CODES]
+                masks = _visit_masks(fdr_ext)
                 code_ext = _band_ext(code_ref, start, below, saved_code, band)
                 dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
 
                 def sweep_k(k, st):
                     code_w, dist_w = st
-                    gate = (t0 + k) < max_steps
                     p_code = _pull_sel(masks, code_w)
                     cand = _pull_add(masks, dist_w, consts)
-                    hit = gate & (code_w == UNRES) & (p_code != UNRES)
+                    hit = (code_w == UNRES) & (p_code != UNRES)
                     return (
                         jnp.where(hit, p_code, code_w),
                         jnp.where(hit, cand, dist_w),
                     )
 
+                # Dynamic trip count instead of a per-sweep gate select:
+                # sweeps past max_steps simply do not run (identical state).
+                nk = jnp.clip(max_steps - t0, 0, PAD)
                 code_ext, dist_ext = jax.lax.fori_loop(
-                    0, PAD, sweep_k, (code_ext, dist_ext)
+                    0, nk, sweep_k, (code_ext, dist_ext)
                 )
                 new_code = code_ext[PAD : PAD + band]
                 code_ref[pl.ds(start, band), :] = new_code
@@ -331,7 +365,7 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
             @pl.when(flag_ref[b] > 0)
             def _():
                 fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-                masks = [fdr_ext == c for c in D8_CODES]
+                masks = _visit_masks(fdr_ext)
                 d_ext = _band_ext(d_ref, start, below, saved_d, band)
                 zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
                 z_ext = z_ref[pl.ds(base, band + 2 * PAD), :]
@@ -340,18 +374,16 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
 
                 def sweep_k(k, st):
                     D, Zt, res = st
-                    gate = (t0 + k) < max_steps
-                    pD = _pull_add(masks, D, consts)
-                    pZt = _pull_sel(masks, Zt)
-                    D = jnp.where(gate, pD, D)
-                    Zt = jnp.where(gate, pZt, Zt)
-                    hit = gate & jnp.isnan(res) & (Zt <= thresh)
+                    D = _pull_add(masks, D, consts)
+                    Zt = _pull_sel(masks, Zt)
+                    hit = jnp.isnan(res) & (Zt <= thresh)
                     z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
                     res = jnp.where(hit, (z_ext - z_at) / D, res)
                     return (D, Zt, res)
 
+                nk = jnp.clip(max_steps - t0, 0, PAD)
                 D, Zt, res = jax.lax.fori_loop(
-                    0, PAD, sweep_k, (d_ext, zt_ext, res_ext)
+                    0, nk, sweep_k, (d_ext, zt_ext, res_ext)
                 )
                 Zt_c = Zt[PAD : PAD + band]
                 res_c = res[PAD : PAD + band]
@@ -479,26 +511,26 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
             @pl.when(flag_ref[b] > 0)
             def _():
                 fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-                masks = [fdr_ext == c for c in D8_CODES]
+                masks = _visit_masks(fdr_ext)
                 code_ext = _band_ext(code_ref, start, below, saved_code, band)
                 dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
                 steps_ext = _band_ext(steps_ref, start, below, saved_steps, band)
 
                 def sweep_k(k, st):
                     code_w, dist_w, steps_w = st
-                    gate = (t0 + k) < max_steps
                     p_code = _pull_sel(masks, code_w)
                     cand_d = _pull_add(masks, dist_w, consts)
                     cand_s = _pull_add(masks, steps_w, ones)
-                    hit = gate & (code_w == UNRES) & (p_code != UNRES)
+                    hit = (code_w == UNRES) & (p_code != UNRES)
                     return (
                         jnp.where(hit, p_code, code_w),
                         jnp.where(hit, cand_d, dist_w),
                         jnp.where(hit, cand_s, steps_w),
                     )
 
+                nk = jnp.clip(max_steps - t0, 0, PAD)
                 code_ext, dist_ext, steps_ext = jax.lax.fori_loop(
-                    0, PAD, sweep_k, (code_ext, dist_ext, steps_ext)
+                    0, nk, sweep_k, (code_ext, dist_ext, steps_ext)
                 )
                 new_code = code_ext[PAD : PAD + band]
                 code_ref[pl.ds(start, band), :] = new_code
