@@ -76,7 +76,7 @@ def tile_map(fn, arrays, fills, tile_rows, tile_cols, halo=0, out_dtype=np.float
 
 
 def tiled_flow_hand(dem, fdr, river, fac, px, tile_rows=2048, tile_cols=2048,
-                    max_steps=FLOW_MAX_STEPS, engine="auto"):
+                    max_steps=FLOW_MAX_STEPS, engine="auto", interpret=False):
     """Flow distance / indices / HAND / river-fac, one tile on device at a
     time, stitched exactly via the boundary-graph ring reduction.
 
@@ -99,7 +99,7 @@ def tiled_flow_hand(dem, fdr, river, fac, px, tile_rows=2048, tile_cols=2048,
 
     local_fn = jax.jit(
         partial(boundary.local_flow_summary, h=h, w=w, R=R, C=C, px=px,
-                max_steps=max_steps, engine=engine)
+                max_steps=max_steps, engine=engine, interpret=interpret)
     )
     ring_sel = boundary.ring_indices(h, w)
 

@@ -71,6 +71,56 @@ def test_kill_and_resume_bitwise(tmp_path, basin, monkeypatch):
         )
 
 
+_WORKER = """
+import os, sys
+sys.path.insert(0, {repo!r})
+import jax
+jax.config.update("jax_platforms", "cpu")
+import numpy as np
+import descriptools_tpu.pipeline as pl
+from descriptools_tpu.utils.synthetic import synthetic_basin
+dem, fdr, river, fac = synthetic_basin(64, 96, seed=11)
+if os.environ.get("CKPT_DIE") == "1":
+    pl._engine_flow = lambda *a, **k: os._exit(3)
+out = pl.run_suite_checkpointed(
+    dem.astype(np.int32), fdr, fac.astype(np.int32), river,
+    pl.PipelineConfig(), sys.argv[1],
+)
+np.savez(sys.argv[2], **{{k: np.asarray(v) for k, v in out.items()}})
+"""
+
+
+def test_real_process_kill_and_resume(tmp_path, basin):
+    """A hard process death (os._exit, no cleanup) mid-pipeline must leave a
+    resumable checkpoint dir; the rerun reproduces an uninterrupted run
+    bitwise — the restart story a preempted pod job needs."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    code = _WORKER.format(repo=repo)
+    ckdir = str(tmp_path / "ck")
+    out_npz = str(tmp_path / "out.npz")
+    env = dict(os.environ, CKPT_DIE="1")
+    p = subprocess.run([sys.executable, "-c", code, ckdir, out_npz],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert p.returncode == 3, p.stderr[-2000:]
+    assert not os.path.exists(out_npz)
+    env["CKPT_DIE"] = "0"
+    p = subprocess.run([sys.executable, "-c", code, ckdir, out_npz],
+                       env=env, capture_output=True, text=True, timeout=300)
+    assert p.returncode == 0, p.stderr[-2000:]
+
+    dem, fdr, fac, river = basin
+    ref = run_suite_checkpointed(
+        dem, fdr, fac, river, PipelineConfig(), str(tmp_path / "ref")
+    )
+    resumed = np.load(out_npz)
+    for k in KEYS:
+        np.testing.assert_array_equal(resumed[k], np.asarray(ref[k]), err_msg=k)
+
+
 def test_manifest_guards_mismatched_resume(tmp_path, basin):
     dem, fdr, fac, river = basin
     cfg = PipelineConfig()

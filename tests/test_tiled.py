@@ -40,3 +40,19 @@ def test_tiled_flow_hand_bitwise_vs_oracle():
     np.testing.assert_allclose(
         river_fac, oracle.river_accumulation_oracle(fac, want_i), rtol=1e-6
     )
+
+
+def test_tiled_flow_hand_pallas_engine_bitwise():
+    """The per-tile Pallas walk tier (interpret mode on CPU) must be
+    integer-bitwise vs the oracle, like the XLA local phase."""
+    dem, fdr, river, fac = synthetic_basin(75, 83, seed=52)
+    dem = dem.astype(np.int32)
+    fac = fac.astype(np.int32)
+    fdist, indices, hand, _ = tiled_flow_hand(
+        dem, fdr, river, fac, PX, tile_rows=32, tile_cols=28,
+        engine="pallas", interpret=True,
+    )
+    want_d, want_i = oracle.flow_distance_index_oracle(fdr, river, PX)
+    np.testing.assert_array_equal(indices, want_i)
+    np.testing.assert_array_equal(hand, oracle.hand_oracle(dem, want_i))
+    np.testing.assert_allclose(fdist, want_d, rtol=1e-4, atol=1e-2)
