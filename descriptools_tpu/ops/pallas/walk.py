@@ -331,6 +331,130 @@ def _flow_sweeps(t, fdr_p, stepd_p, code_p, dist_p, h, max_steps,
     )(t, fdr_p, stepd_p, code_p, dist_p)
 
 
+# ---------------------------------------------------------------------------
+# Generalised blocked absorbing walk: (code, dist, steps), the HBM-tier twin
+# of walk_vmem.absorbing_walk_pallas_vmem for blocks too big for VMEM — the
+# boundary-graph local phase uses it per shard when the VMEM tier won't fit.
+# ---------------------------------------------------------------------------
+
+
+def _walk3_kernel(t_ref, fdr_hbm, stepd_hbm, code_hbm, dist_hbm, steps_hbm,
+                  code_out, dist_out, steps_out,
+                  w_fdr, w_stepd, w_code, w_dist, w_steps, sems,
+                  *, h, max_steps):
+    by = pl.program_id(0)
+    bx = pl.program_id(1)
+    wh, ww = BH + 2 * h, BW + 2 * h
+    _window_dma([fdr_hbm, stepd_hbm, code_hbm, dist_hbm, steps_hbm],
+                [w_fdr, w_stepd, w_code, w_dist, w_steps], sems, by, bx, wh, ww)
+
+    fdr_w = w_fdr[:, :]
+    masks = [fdr_w == code for code in D8_CODES]
+    stepd_w = w_stepd[:, :]
+    t0 = t_ref[0, 0]
+
+    def sweep(k, carry):
+        code, dist, steps = carry
+        gate = (t0 + k) < max_steps
+        p_code = _pull(masks, code)
+        p_dist = _pull(masks, dist)
+        p_steps = _pull(masks, steps)
+        hit = gate & (code == UNRES) & (p_code != UNRES)
+        dist = jnp.where(hit, stepd_w + p_dist, dist)
+        steps = jnp.where(hit, 1.0 + p_steps, steps)
+        code = jnp.where(hit, p_code, code)
+        return (code, dist, steps)
+
+    code, dist, steps = jax.lax.fori_loop(
+        0, h, sweep, (w_code[:, :], w_dist[:, :], w_steps[:, :])
+    )
+    code_out[:, :] = code[h : h + BH, h : h + BW]
+    dist_out[:, :] = dist[h : h + BH, h : h + BW]
+    steps_out[:, :] = steps[h : h + BH, h : h + BW]
+
+
+@functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
+def _walk3_sweeps(t, fdr_p, stepd_p, code_p, dist_p, steps_p, h, max_steps,
+                  interpret=False):
+    rp = code_p.shape[0] - 2 * h
+    cp = code_p.shape[1] - 2 * h
+    grid = (rp // BH, cp // BW)
+    win = (BH + 2 * h, BW + 2 * h)
+    vma = jax.typeof(code_p).vma
+    return pl.pallas_call(
+        functools.partial(_walk3_kernel, h=h, max_steps=max_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[_interior_spec()] * 3,
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM(win, jnp.int32),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.int32),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.SemaphoreType.DMA((5,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(t, fdr_p, stepd_p, code_p, dist_p, steps_p)
+
+
+@functools.partial(jax.jit, static_argnames=("px", "max_steps", "h", "interpret"))
+def absorbing_walk_pallas(fdr_eff, code0, stepd0, px, max_steps=20000,
+                          h=H_SWEEPS, interpret=False):
+    """Generic absorbing walk on the blocked (HBM-resident) tier.
+
+    Same contract as walk_vmem.absorbing_walk_pallas_vmem: ``fdr_eff`` has
+    absorbing cells zeroed, ``code0`` holds own flat index at absorbers and
+    UNRES elsewhere, ``stepd0`` the per-cell step length (0 at absorbers).
+    Returns (code, dist, steps) with the same accumulation order as the XLA
+    frontier engine — integer outputs engine-independent bitwise.
+    """
+    rows, cols = fdr_eff.shape
+    rp, cp = _block_dims(rows, cols)
+    fdr_p = _pad_block(jnp.asarray(fdr_eff, jnp.int32), h, rp, cp, 0)
+    stepd_p = _pad_block(jnp.asarray(stepd0, jnp.float32), h, rp, cp, 0.0)
+    code = _pad_block(jnp.asarray(code0, jnp.int32), h, rp, cp, -1)[h:-h, h:-h]
+    dist = code.astype(jnp.float32) * 0.0
+    steps = dist
+
+    def cond(carry):
+        _c, _d, _s, newly, t = carry
+        return (newly > 0) & (t < max_steps)
+
+    def body(carry):
+        code, dist, steps, _newly, t = carry
+        before = jnp.sum(code == UNRES)
+        code, dist, steps = _walk3_sweeps(
+            jnp.full((1, 1), t, jnp.int32), fdr_p, stepd_p,
+            jnp.pad(code, h, constant_values=-1), jnp.pad(dist, h),
+            jnp.pad(steps, h), h, max_steps, interpret=interpret,
+        )
+        after = jnp.sum(code == UNRES)
+        return (code, dist, steps, before - after, t + h)
+
+    zero = jnp.sum(code == UNRES) * 0
+    code, dist, steps, _n, _t = jax.lax.while_loop(
+        cond, body, (code, dist, steps, zero + 1, zero)
+    )
+    sl = (slice(0, rows), slice(0, cols))
+    return code[sl], dist[sl], steps[sl]
+
+
 @functools.partial(jax.jit, static_argnames=("px", "max_steps", "h", "interpret"))
 def flow_pallas(fdr, river, px, max_steps=20000, h=H_SWEEPS, interpret=False):
     """(fdist, indices) via the multi-sweep walk kernel, run to convergence.

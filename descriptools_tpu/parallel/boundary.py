@@ -92,16 +92,25 @@ def local_flow_summary(dem, fdr, river, fac, iy, ix, h, w, R, C, px,
     stepd = jnp.where(role_f == STEP, stepd_all, 0.0)
     absorbing = role_f != STEP
 
-    if engine == "pallas" and walk_vmem.fits_vmem(h, w, kind="walk3"):
+    if engine in ("pallas", "pallas_blocked"):
         fdr_eff = jnp.where(absorbing.reshape(h, w), 0, fdr).astype(jnp.int32)
         code0 = jnp.where(
             absorbing.reshape(h, w),
             self_idx.reshape(h, w),
             jnp.int32(walk_vmem.UNRES),
         )
-        code, dist, steps = walk_vmem.absorbing_walk_pallas_vmem(
-            fdr_eff, code0, px, max_steps=max_steps, interpret=interpret
-        )
+        if engine == "pallas" and walk_vmem.fits_vmem(h, w, kind="walk3"):
+            code, dist, steps = walk_vmem.absorbing_walk_pallas_vmem(
+                fdr_eff, code0, px, max_steps=max_steps, interpret=interpret
+            )
+        else:
+            # Block too big for VMEM residency: the halo-blocked HBM tier.
+            from descriptools_tpu.ops.pallas.walk import absorbing_walk_pallas
+
+            code, dist, steps = absorbing_walk_pallas(
+                fdr_eff, code0, stepd.reshape(h, w), px,
+                max_steps=max_steps, interpret=interpret,
+            )
         code = code.reshape(-1)
         dist = dist.reshape(-1)
         steps = steps.reshape(-1)

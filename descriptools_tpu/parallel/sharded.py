@@ -146,7 +146,7 @@ def _flow_program(mesh, h, w, R, C, px, max_steps, engine, interpret):
         # The pallas interpreter's internal scans trip the static
         # varying-axis checker (jax-ml/jax vma + pallas interpret);
         # the collectives here are explicit, so the check adds nothing.
-        check_vma=(engine != "pallas"),
+        check_vma=(engine == "xla"),
     )
     def run(d, f, r, a, fac0):
         return body(d, f, r, a, fac0)

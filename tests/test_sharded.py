@@ -60,15 +60,18 @@ def test_sharded_flow_matches_single(basin, mesh_idx):
     np.testing.assert_allclose(np.asarray(river_fac), want_rf, rtol=1e-6)
 
 
-@pytest.mark.parametrize("mesh_idx", [0, 2])
-def test_sharded_flow_pallas_engine_bitwise(basin, mesh_idx):
-    """The Pallas walk tier under shard_map (interpret mode on CPU) must be
-    bitwise on integers vs the oracle, like the XLA local phase."""
+@pytest.mark.parametrize("engine,mesh_idx", [
+    ("pallas", 0), ("pallas", 2), ("pallas_blocked", 0),
+])
+def test_sharded_flow_pallas_engine_bitwise(basin, engine, mesh_idx):
+    """The Pallas walk tiers under shard_map (interpret mode on CPU) must be
+    bitwise on integers vs the oracle, like the XLA local phase — both the
+    VMEM-resident tier and the halo-blocked HBM tier."""
     dem, fdr, river, fac = basin
     mesh = meshes()[mesh_idx]
     fdist, indices, hand, _ = sharded_flow_hand(
         dem.astype(np.int32), fdr, river, fac.astype(np.int32), PX, mesh,
-        engine="pallas", interpret=True,
+        engine=engine, interpret=True,
     )
     want_d, want_i = oracle.flow_distance_index_oracle(fdr, river, PX)
     np.testing.assert_array_equal(np.asarray(indices), want_i)
