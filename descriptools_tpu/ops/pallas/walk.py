@@ -100,44 +100,58 @@ def _window_dma(refs, scratches, sems, by, bx, wh, ww):
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(t_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
+def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
                       thresh_ref, resd_in, resz_in,
                       d_out, zt_out, resd_out, resz_out,
                       w_fdr, w_stepd, w_d, w_zt, sems, *, h, max_steps):
     by = pl.program_id(0)
     bx = pl.program_id(1)
     wh, ww = BH + 2 * h, BW + 2 * h
-    _window_dma([fdr_hbm, stepd_hbm, d_hbm, zt_hbm],
-                [w_fdr, w_stepd, w_d, w_zt], sems, by, bx, wh, ww)
+    # Per-block skip flags (computed by the wrapper): unfrozen-cell counts
+    # under monotone-z inputs, unsaturated-lookahead counts otherwise —
+    # the same two regimes, with the same exactness argument, as the
+    # VMEM-resident kernel's band flags (walk_vmem._downslope_kernel).
+    active = flag_ref[by, bx] > 0
 
-    fdr_w = w_fdr[:, :]
-    masks = [fdr_w == code for code in D8_CODES]
-    stepd_w = w_stepd[:, :]
-    thresh = thresh_ref[:, :]
-    t0 = t_ref[0, 0]
+    @pl.when(active)
+    def _():
+        _window_dma([fdr_hbm, stepd_hbm, d_hbm, zt_hbm],
+                    [w_fdr, w_stepd, w_d, w_zt], sems, by, bx, wh, ww)
 
-    def sweep(k, carry):
-        D, Zt, res_d, res_z = carry
-        gate = (t0 + k) < max_steps
-        pD = _pull(masks, D)
-        pZt = _pull(masks, Zt)
-        D = jnp.where(gate, stepd_w + pD, D)
-        Zt = jnp.where(gate, pZt, Zt)
-        D_i = D[h : h + BH, h : h + BW]
-        Zt_i = Zt[h : h + BH, h : h + BW]
-        hit = gate & (res_d == 0.0) & (Zt_i <= thresh)
-        z_at = jnp.where(Zt_i < -_HALF, Zt_i + _OFF, Zt_i)
-        res_d = jnp.where(hit, D_i, res_d)
-        res_z = jnp.where(hit, z_at, res_z)
-        return (D, Zt, res_d, res_z)
+        fdr_w = w_fdr[:, :]
+        masks = [fdr_w == code for code in D8_CODES]
+        stepd_w = w_stepd[:, :]
+        thresh = thresh_ref[:, :]
+        t0 = t_ref[0, 0]
 
-    D, Zt, res_d, res_z = jax.lax.fori_loop(
-        0, h, sweep, (w_d[:, :], w_zt[:, :], resd_in[:, :], resz_in[:, :])
-    )
-    d_out[:, :] = D[h : h + BH, h : h + BW]
-    zt_out[:, :] = Zt[h : h + BH, h : h + BW]
-    resd_out[:, :] = res_d
-    resz_out[:, :] = res_z
+        def sweep(k, carry):
+            D, Zt, res_d, res_z = carry
+            gate = (t0 + k) < max_steps
+            pD = _pull(masks, D)
+            pZt = _pull(masks, Zt)
+            D = jnp.where(gate, stepd_w + pD, D)
+            Zt = jnp.where(gate, pZt, Zt)
+            D_i = D[h : h + BH, h : h + BW]
+            Zt_i = Zt[h : h + BH, h : h + BW]
+            hit = gate & (res_d == 0.0) & (Zt_i <= thresh)
+            z_at = jnp.where(Zt_i < -_HALF, Zt_i + _OFF, Zt_i)
+            res_d = jnp.where(hit, D_i, res_d)
+            res_z = jnp.where(hit, z_at, res_z)
+            return (D, Zt, res_d, res_z)
+
+        D, Zt, res_d, res_z = jax.lax.fori_loop(
+            0, h, sweep, (w_d[:, :], w_zt[:, :], resd_in[:, :], resz_in[:, :])
+        )
+        d_out[:, :] = D[h : h + BH, h : h + BW]
+        zt_out[:, :] = Zt[h : h + BH, h : h + BW]
+        resd_out[:, :] = res_d
+        resz_out[:, :] = res_z
+
+    @pl.when(~active)
+    def _():
+        _copy_through([d_hbm, zt_hbm], [d_out, zt_out], sems, by, bx, h)
+        resd_out[:, :] = resd_in[:, :]
+        resz_out[:, :] = resz_in[:, :]
 
 
 def _interior_spec():
@@ -145,7 +159,7 @@ def _interior_spec():
 
 
 @functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
-def _downslope_sweeps(t, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
+def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
                       h, max_steps, interpret=False):
     """One pallas call = h sweeps.  Padded window inputs, interior outputs."""
     rp, cp = thresh.shape
@@ -157,6 +171,7 @@ def _downslope_sweeps(t, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole flags array
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -178,7 +193,7 @@ def _downslope_sweeps(t, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(t, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z)
+    )(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z)
 
 
 def _pad_block(arr, h, rp, cp, fill):
@@ -206,6 +221,7 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     Bit-identical to ops.downslope._downslope_jacobi (same pull order, same
     f32 accumulation order, same cap semantics — downslope.py:434-532 spec).
     """
+    from descriptools_tpu.d8 import pull8
     from descriptools_tpu.ops.downslope import _terminal_and_step
 
     rows, cols = dem.shape
@@ -213,17 +229,28 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     thresh0 = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
     zt0 = jnp.where(terminal, z - _OFF, z)
+    # Monotone-descent probe selecting the aggressive block-skip rule
+    # (see walk_vmem.downslope_pallas_vmem).
+    (z_succ,) = pull8(fdr_eff, [z], [0.0])
+    mono = jnp.all(z_succ <= z)
 
     rp, cp = _block_dims(rows, cols)
+    nby, nbx = rp // BH, cp // BW
     fdr_p = _pad_block(fdr_eff, h, rp, cp, 0)
     stepd_p = _pad_block(stepd, h, rp, cp, 0.0)
     thresh = _pad_block(thresh0, h, rp, cp, 0.0)[h:-h, h:-h]
     live0 = _pad_block(~terminal, h, rp, cp, False)[h:-h, h:-h]
 
     d0 = jnp.zeros((rp, cp), jnp.float32)
-    zt = _pad_block(zt0, h, rp, cp, 0.0)[h:-h, h:-h]
+    # Padding saturates (terminal-encoded) so padded blocks go quiescent.
+    zt = _pad_block(zt0, h, rp, cp, -_OFF)[h:-h, h:-h]
     res_d = jnp.zeros((rp, cp), jnp.float32)
     res_z = _pad_block(z, h, rp, cp, 0.0)[h:-h, h:-h]
+
+    def _blk(mask2d):
+        return jnp.sum(
+            mask2d.reshape(nby, BH, nbx, BW).astype(jnp.int32), axis=(1, 3)
+        )
 
     def cond(carry):
         res_d, _rz, _d, _zt, t = carry
@@ -231,10 +258,13 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 
     def body(carry):
         res_d, res_z, D, Zt, t = carry
+        flags = jnp.where(
+            mono, _blk((res_d == 0.0) & live0), _blk(Zt >= -_HALF)
+        )
         d_p = jnp.pad(D, h)
         zt_p = jnp.pad(Zt, h)
         D, Zt, res_d, res_z = _downslope_sweeps(
-            jnp.full((1, 1), t, jnp.int32), fdr_p, stepd_p, d_p, zt_p,
+            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, stepd_p, d_p, zt_p,
             thresh, res_d, res_z, h, max_steps, interpret=interpret,
         )
         return (res_d, res_z, D, Zt, t + h)
@@ -266,37 +296,64 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 # ---------------------------------------------------------------------------
 
 
-def _flow_kernel(t_ref, fdr_hbm, stepd_hbm, code_hbm, dist_hbm,
+def _copy_through(srcs, dsts, sems, by, bx, h):
+    """Quiescent block: forward the interior unchanged (no sweeps)."""
+    copies = [
+        pltpu.make_async_copy(
+            src.at[pl.ds(by * BH + h, BH), pl.ds(bx * BW + h, BW)],
+            dst, sems.at[i],
+        )
+        for i, (src, dst) in enumerate(zip(srcs, dsts))
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+
+def _flow_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, code_hbm, dist_hbm,
                  code_out, dist_out, w_fdr, w_stepd, w_code, w_dist, sems,
                  *, h, max_steps):
     by = pl.program_id(0)
     bx = pl.program_id(1)
     wh, ww = BH + 2 * h, BW + 2 * h
-    _window_dma([fdr_hbm, stepd_hbm, code_hbm, dist_hbm],
-                [w_fdr, w_stepd, w_code, w_dist], sems, by, bx, wh, ww)
+    # Per-block skip: resolved cells never change, so a block with no UNRES
+    # cell is at its fixed point — neighbours read its constant HBM rows
+    # either way.  Skipping is unconditionally exact; the tail of a huge
+    # grid then costs DMA-copy-through instead of h sweeps per block.
+    active = flag_ref[by, bx] > 0
 
-    fdr_w = w_fdr[:, :]
-    masks = [fdr_w == code for code in D8_CODES]
-    stepd_w = w_stepd[:, :]
-    t0 = t_ref[0, 0]
+    @pl.when(active)
+    def _():
+        _window_dma([fdr_hbm, stepd_hbm, code_hbm, dist_hbm],
+                    [w_fdr, w_stepd, w_code, w_dist], sems, by, bx, wh, ww)
 
-    def sweep(k, carry):
-        code, dist = carry
-        gate = (t0 + k) < max_steps
-        p_code = _pull(masks, code)
-        p_dist = _pull(masks, dist)
-        hit = gate & (code == UNRES) & (p_code != UNRES)
-        dist = jnp.where(hit, stepd_w + p_dist, dist)
-        code = jnp.where(hit, p_code, code)
-        return (code, dist)
+        fdr_w = w_fdr[:, :]
+        masks = [fdr_w == code for code in D8_CODES]
+        stepd_w = w_stepd[:, :]
+        t0 = t_ref[0, 0]
 
-    code, dist = jax.lax.fori_loop(0, h, sweep, (w_code[:, :], w_dist[:, :]))
-    code_out[:, :] = code[h : h + BH, h : h + BW]
-    dist_out[:, :] = dist[h : h + BH, h : h + BW]
+        def sweep(k, carry):
+            code, dist = carry
+            gate = (t0 + k) < max_steps
+            p_code = _pull(masks, code)
+            p_dist = _pull(masks, dist)
+            hit = gate & (code == UNRES) & (p_code != UNRES)
+            dist = jnp.where(hit, stepd_w + p_dist, dist)
+            code = jnp.where(hit, p_code, code)
+            return (code, dist)
+
+        code, dist = jax.lax.fori_loop(0, h, sweep, (w_code[:, :], w_dist[:, :]))
+        code_out[:, :] = code[h : h + BH, h : h + BW]
+        dist_out[:, :] = dist[h : h + BH, h : h + BW]
+
+    @pl.when(~active)
+    def _():
+        _copy_through([code_hbm, dist_hbm], [code_out, dist_out], sems, by, bx, h)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
-def _flow_sweeps(t, fdr_p, stepd_p, code_p, dist_p, h, max_steps,
+def _flow_sweeps(t, flags, fdr_p, stepd_p, code_p, dist_p, h, max_steps,
                  interpret=False):
     rp = code_p.shape[0] - 2 * h
     cp = code_p.shape[1] - 2 * h
@@ -307,6 +364,7 @@ def _flow_sweeps(t, fdr_p, stepd_p, code_p, dist_p, h, max_steps,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # whole flags array
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -328,7 +386,7 @@ def _flow_sweeps(t, fdr_p, stepd_p, code_p, dist_p, h, max_steps,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(t, fdr_p, stepd_p, code_p, dist_p)
+    )(t, flags, fdr_p, stepd_p, code_p, dist_p)
 
 
 # ---------------------------------------------------------------------------
@@ -491,9 +549,17 @@ def flow_pallas(fdr, river, px, max_steps=20000, h=H_SWEEPS, interpret=False):
 
     def body(carry):
         code, dist, _newly, t = carry
-        before = jnp.sum(code == UNRES)
+        # Per-block UNRES counts double as the skip flags and the global
+        # convergence counter.
+        rp_, cp_ = code.shape
+        flags = jnp.sum(
+            (code == UNRES).reshape(rp_ // BH, BH, cp_ // BW, BW)
+            .astype(jnp.int32),
+            axis=(1, 3),
+        )
+        before = jnp.sum(flags)
         code, dist = _flow_sweeps(
-            jnp.full((1, 1), t, jnp.int32), fdr_p, stepd_p,
+            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, stepd_p,
             jnp.pad(code, h, constant_values=-1), jnp.pad(dist, h),
             h, max_steps, interpret=interpret,
         )
