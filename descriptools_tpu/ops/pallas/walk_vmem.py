@@ -62,7 +62,7 @@ DOWN_BAND = 64  # downslope holds 5 state rasters, so smaller temp bands
 PAD = 8  # inert rows above and below the grid; also sweeps per band visit
 
 VMEM_BYTES = 128 * 1024 * 1024
-_STATE_RASTERS = {"flow": 3, "downslope": 5, "walk3": 4}
+_STATE_RASTERS = {"downslope": 5, "walk3": 4}
 
 
 def fits_vmem(rows, cols, kind="downslope"):
@@ -86,7 +86,7 @@ def _pad(arr, rp, cp, fill):
     )
 
 
-def _visit_masks(fdr_ext):
+def _visit_masks(fdr_ext, edge_guard=False):
     """Per-visit pull-select masks, precomputed once and shared by every
     sweep and every pulled array of the visit.
 
@@ -99,10 +99,22 @@ def _visit_masks(fdr_ext):
       - ``up``: likewise for dy=-1 (NW, N, NE).
     Select chains are disjoint (one D8 code per cell), so regrouping is
     bitwise-identical to the canonical d8.pull8 order.
+
+    ``edge_guard=True`` additionally zeroes the vertical groups on the
+    window's first/last row, whose pull sublane-roll WRAPS to the other
+    window edge.  Interior rows keep identical selects; the edge rows go
+    stale instead of reading wrap garbage — required when a visit sweeps
+    more than PAD times (the walk3 inner convergence loop), because the
+    "garbage stays in the discarded halo for <= PAD sweeps" invariant no
+    longer bounds propagation.
     """
     m = {int(c): fdr_ext == c for c in D8_CODES}
     dn_any = m[2] | m[4] | m[8]
     up_any = m[32] | m[64] | m[128]
+    if edge_guard:
+        ri = jax.lax.broadcasted_iota(jnp.int32, fdr_ext.shape, 0)
+        up_any = up_any & (ri > 0)
+        dn_any = dn_any & (ri < fdr_ext.shape[0] - 1)
     # Mosaic can only rotate 32-bit data: roll the int fdr once per group
     # and compare post-roll instead of rolling bool masks.
     fdr_dn = _roll(fdr_ext, 1, 0)  # fdr of the row above, at the source row
@@ -175,97 +187,15 @@ def _band_ext(ref, start, below, saved, band):
 # ---------------------------------------------------------------------------
 
 
-def _flow_kernel(fdr_ref, code_ref, dist_ref, code_out, dist_out, flag_ref,
-                 *, px, max_steps, nbands, band):
-    consts = _step_consts(px)
-
-    # Per-band residual counters (SMEM): only UNRES cells can ever change
-    # (resolved cells are write-frozen by the hit mask), so a band with no
-    # UNRES cells is at its Jacobi fixed point and is skipped EXACTLY —
-    # neighbours read its constant rows as pull sources either way.  Long-
-    # tail convergence then costs only the bands that still contain tails.
-    def init_flag(b, c):
-        _base, start, _below = _starts(b, band)
-        flag_ref[b] = jnp.sum(
-            (code_ref[pl.ds(start, band), :] == UNRES).astype(jnp.int32)
-        )
-        return c
-
-    jax.lax.fori_loop(0, nbands, init_flag, 0)
-
-    # One "visit" = PAD sweeps over each band: the carried PAD-row pre-visit
-    # halo keeps the band interior wavefront-exact for exactly PAD sweeps
-    # (information moves one row per sweep), so window assembly, masks,
-    # writes and flag reductions amortise PAD-fold over the bulk phase.
-    def visit(v, t0):
-        def band_body(b, carry):
-            saved_code, saved_dist = carry
-            base, start, below = _starts(b, band)
-            # Pre-visit tail of this band = the next band's upper halo
-            # (read before any write, so it is pre-visit whether or not
-            # this band updates).
-            tail = pl.multiple_of(start + band - PAD, PAD)
-            nxt = (
-                code_ref[pl.ds(tail, PAD), :],
-                dist_ref[pl.ds(tail, PAD), :],
-            )
-
-            @pl.when(flag_ref[b] > 0)
-            def _():
-                fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-                masks = _visit_masks(fdr_ext)
-                code_ext = _band_ext(code_ref, start, below, saved_code, band)
-                dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
-
-                def sweep_k(k, st):
-                    code_w, dist_w = st
-                    p_code = _pull_sel(masks, code_w)
-                    cand = _pull_add(masks, dist_w, consts)
-                    hit = (code_w == UNRES) & (p_code != UNRES)
-                    return (
-                        jnp.where(hit, p_code, code_w),
-                        jnp.where(hit, cand, dist_w),
-                    )
-
-                # Dynamic trip count instead of a per-sweep gate select:
-                # sweeps past max_steps simply do not run (identical state).
-                nk = jnp.clip(max_steps - t0, 0, PAD)
-                code_ext, dist_ext = jax.lax.fori_loop(
-                    0, nk, sweep_k, (code_ext, dist_ext)
-                )
-                new_code = code_ext[PAD : PAD + band]
-                code_ref[pl.ds(start, band), :] = new_code
-                dist_ref[pl.ds(start, band), :] = dist_ext[PAD : PAD + band]
-                flag_ref[b] = jnp.sum((new_code == UNRES).astype(jnp.int32))
-
-            return nxt
-
-        saved0 = (code_ref[pl.ds(0, PAD), :], dist_ref[pl.ds(0, PAD), :])
-        jax.lax.fori_loop(0, nbands, band_body, saved0)
-        return t0 + PAD
-
-    def cond(carry):
-        newly, t = carry
-        return (newly > 0) & (t < max_steps)
-
-    def body(carry):
-        _newly, t = carry
-        before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
-        t = jax.lax.fori_loop(0, CHECK // PAD, visit, t)
-        after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
-        return (before - after, t)
-
-    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
-    code_out[:, :] = code_ref[:, :]
-    dist_out[:, :] = dist_ref[:, :]
-
-
 @functools.partial(jax.jit, static_argnames=("px", "max_steps", "interpret"))
 def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
     """(fdist, indices) with the whole walk resolved in one kernel launch.
 
     Bit-identical to ops.pallas.walk.flow_pallas / the XLA hybrid engine
-    (flowhand.py:565-846 truth table).
+    (flowhand.py:565-846 truth table).  Runs on the Gauss-Seidel walk3
+    kernel: the extra steps raster it carries is what makes the reference's
+    path-length cap exact under out-of-order resolution (same rule as
+    ops/flow.py _flow_doubling: landed iff steps <= max_steps).
     """
     from descriptools_tpu.ops.flow import flow_states
 
@@ -277,36 +207,18 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
     absorbing2d = absorbing.reshape(rows, cols)
     is_river2d = is_river.reshape(rows, cols)
     self_idx = jnp.arange(n, dtype=jnp.int32).reshape(rows, cols)
+    # Sign carries the absorber kind (river >= 0, NaN-absorber < 0); the
+    # walk kernel only distinguishes UNRES vs resolved, so any non-UNRES
+    # payload propagates untouched.
     code0 = jnp.where(
         absorbing2d, jnp.where(is_river2d, self_idx, -self_idx - 1), jnp.int32(UNRES)
     )
     fdr_eff = jnp.where(absorbing2d, 0, jnp.asarray(fdr)).astype(jnp.int32)
 
-    rp, cp = _align(rows, cols, FLOW_BAND)
-    fdr_p = _pad(fdr_eff, rp, cp, 0)
-    code_p = _pad(code0, rp, cp, -1)  # pad ring: inert resolved
-    dist_p = jnp.zeros(code_p.shape, jnp.float32)
-
-    code, dist = pl.pallas_call(
-        functools.partial(
-            _flow_kernel, px=px, max_steps=max_steps,
-            nbands=rp // FLOW_BAND, band=FLOW_BAND,
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
-        out_shape=[
-            jax.ShapeDtypeStruct(code_p.shape, jnp.int32),
-            jax.ShapeDtypeStruct(code_p.shape, jnp.float32),
-        ],
-        input_output_aliases={1: 0, 2: 1},
-        scratch_shapes=[pltpu.SMEM((rp // FLOW_BAND,), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
-        interpret=interpret,
-    )(fdr_p, code_p, dist_p)
-
-    code = code[PAD : PAD + rows, :cols]
-    dist = dist[PAD : PAD + rows, :cols]
-    landed = code >= 0
+    code, dist, _steps = absorbing_walk_pallas_vmem(
+        fdr_eff, code0, px, max_steps=max_steps, interpret=interpret
+    )
+    landed = code >= 0  # over-cap cells were reset to UNRES (< 0)
     fdist = jnp.where(landed, dist, jnp.float32(NODATA))
     indices = jnp.where(landed, code, jnp.int32(NODATA))
     return fdist, indices
@@ -497,24 +409,32 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
 
     jax.lax.fori_loop(0, nbands, init_flag, 0)
 
+    # Gauss-Seidel band schedule: each band window reads the rasters AS
+    # THEY ARE (the neighbour visited earlier this pass is post-visit, the
+    # other side pre-visit), and passes alternate top-down / bottom-up, so
+    # resolution fronts cross the whole grid in one pass instead of one
+    # band-row per PAD sweeps.  Exactness: a hit copies the downstream
+    # cell's (code, dist, steps) only when that cell is resolved, and
+    # resolved cells are write-frozen — so every resolved record equals
+    # the value propagated from FINAL absorber records, and the fixed
+    # point is schedule-independent, bitwise.  The reference's per-cell
+    # walk cap is enforced by the wrapper's steps post-mask (the same
+    # path-length rule as ops/flow.py _flow_doubling), not by a Jacobi
+    # sweep gate, so out-of-order resolution never changes capped output.
     def visit(v, t0):
-        def band_body(b, carry):
-            saved_code, saved_dist, saved_steps = carry
-            base, start, below = _starts(b, band)
-            tail = pl.multiple_of(start + band - PAD, PAD)
-            nxt = (
-                code_ref[pl.ds(tail, PAD), :],
-                dist_ref[pl.ds(tail, PAD), :],
-                steps_ref[pl.ds(tail, PAD), :],
-            )
+        down = (t0 // PAD) % 2 == 0
+
+        def band_body(i, c):
+            b = jnp.where(down, i, nbands - 1 - i)
+            base, start, _below = _starts(b, band)
 
             @pl.when(flag_ref[b] > 0)
             def _():
                 fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-                masks = _visit_masks(fdr_ext)
-                code_ext = _band_ext(code_ref, start, below, saved_code, band)
-                dist_ext = _band_ext(dist_ref, start, below, saved_dist, band)
-                steps_ext = _band_ext(steps_ref, start, below, saved_steps, band)
+                masks = _visit_masks(fdr_ext, edge_guard=True)
+                code_ext = code_ref[pl.ds(base, band + 2 * PAD), :]
+                dist_ext = dist_ref[pl.ds(base, band + 2 * PAD), :]
+                steps_ext = steps_ref[pl.ds(base, band + 2 * PAD), :]
 
                 def sweep_k(k, st):
                     code_w, dist_w, steps_w = st
@@ -528,24 +448,43 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
                         jnp.where(hit, cand_s, steps_w),
                     )
 
-                nk = jnp.clip(max_steps - t0, 0, PAD)
-                code_ext, dist_ext, steps_ext = jax.lax.fori_loop(
-                    0, nk, sweep_k, (code_ext, dist_ext, steps_ext)
+                # Inner convergence loop: keep sweeping this band in
+                # PAD-sized chunks while its interior UNRES count drops, so
+                # a lateral channel of any length resolves in ONE visit
+                # (the pass schedule above only accelerates the vertical
+                # axis; in-band propagation is bounded by sweeps, not by a
+                # halo — the window spans the full width).  A no-progress
+                # chunk leaves the state bitwise unchanged (every write is
+                # hit-gated), so the stall detection costs one chunk — the
+                # same cost the fixed 1-chunk visit pays when stalled.
+                def chunk(st):
+                    code_w, dist_w, steps_w, _prev, cur = st
+                    code_w, dist_w, steps_w = jax.lax.fori_loop(
+                        0, PAD, sweep_k, (code_w, dist_w, steps_w)
+                    )
+                    ncur = jnp.sum(
+                        (code_w[PAD : PAD + band] == UNRES).astype(jnp.int32)
+                    )
+                    return (code_w, dist_w, steps_w, cur, ncur)
+
+                def still_progressing(st):
+                    *_, prev, cur = st
+                    return cur < prev
+
+                code_ext, dist_ext, steps_ext, _, ncur = jax.lax.while_loop(
+                    still_progressing,
+                    chunk,
+                    (code_ext, dist_ext, steps_ext,
+                     jnp.int32(2**31 - 1), flag_ref[b]),
                 )
-                new_code = code_ext[PAD : PAD + band]
-                code_ref[pl.ds(start, band), :] = new_code
+                code_ref[pl.ds(start, band), :] = code_ext[PAD : PAD + band]
                 dist_ref[pl.ds(start, band), :] = dist_ext[PAD : PAD + band]
                 steps_ref[pl.ds(start, band), :] = steps_ext[PAD : PAD + band]
-                flag_ref[b] = jnp.sum((new_code == UNRES).astype(jnp.int32))
+                flag_ref[b] = ncur
 
-            return nxt
+            return c
 
-        saved0 = (
-            code_ref[pl.ds(0, PAD), :],
-            dist_ref[pl.ds(0, PAD), :],
-            steps_ref[pl.ds(0, PAD), :],
-        )
-        jax.lax.fori_loop(0, nbands, band_body, saved0)
+        jax.lax.fori_loop(0, nbands, band_body, 0)
         return t0 + PAD
 
     def cond(carry):
@@ -571,11 +510,15 @@ def absorbing_walk_pallas_vmem(fdr_eff, code0, px, max_steps=20000,
     """Generic absorbing walk, whole state VMEM-resident.
 
     ``fdr_eff``: D8 codes with absorbing cells zeroed (self-pull).
-    ``code0``: int32, the cell's own flat index at absorbing cells and
-    UNRES elsewhere.  Returns (code, dist, steps): the absorber's flat
-    index (UNRES where the walk never absorbs — cycles / over-cap), the f32
-    path distance (px-weighted, same accumulation order as the XLA frontier
-    engine in ops/flow.py resolve_absorbing_walk), and the f32 step count.
+    ``code0``: int32, any non-UNRES payload at absorbing cells (their own
+    flat index, possibly sign-tagged) and UNRES elsewhere.  Returns
+    (code, dist, steps): the absorber's payload (UNRES where the walk
+    never absorbs — cycles / over-cap), the f32 path distance
+    (px-weighted, same accumulation order as the XLA frontier engine in
+    ops/flow.py resolve_absorbing_walk), and the f32 step count.  The
+    Gauss-Seidel kernel resolves cells out of sweep order, so the cap is
+    applied here as a path-length post-mask — bitwise the Jacobi-with-cap
+    fixed point (over-cap cells revert to their UNRES/0/0 init).
     """
     rows, cols = fdr_eff.shape
     rp, cp = _align(rows, cols, FLOW_BAND)
@@ -606,4 +549,10 @@ def absorbing_walk_pallas_vmem(fdr_eff, code0, px, max_steps=20000,
     )(fdr_p, code_p, dist_p, steps_p)
 
     sl = np.s_[PAD : PAD + rows, :cols]
-    return code[sl], dist[sl], steps[sl]
+    code, dist, steps = code[sl], dist[sl], steps[sl]
+    over = steps > jnp.float32(max_steps)
+    return (
+        jnp.where(over, UNRES, code),
+        jnp.where(over, 0.0, dist),
+        jnp.where(over, 0.0, steps),
+    )

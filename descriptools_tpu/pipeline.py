@@ -84,7 +84,7 @@ def _engine_flow(fdr, river, cfg: PipelineConfig):
         from descriptools_tpu.ops.pallas import walk_vmem
         from descriptools_tpu.ops.pallas.walk import flow_pallas
 
-        if walk_vmem.fits_vmem(*fdr.shape, kind="flow"):
+        if walk_vmem.fits_vmem(*fdr.shape, kind="walk3"):
             return walk_vmem.flow_pallas_vmem(
                 fdr, river, cfg.px, max_steps=cfg.flow_max_steps
             )
