@@ -88,6 +88,7 @@ def main():
     from dataclasses import replace
 
     accel = jax.devices()[0]
+    cfg_run = cfg
     t_accel = _time_suite(accel, dem, fdr, fac, river, cfg)
     cfg = replace(cfg, engine="xla")  # host-CPU leg: no TPU pallas kernels
     gps = cells / t_accel
@@ -132,6 +133,9 @@ def main():
                 "value": round(gps, 1),
                 "unit": "grid-points/s/chip",
                 "vs_baseline": round(vs, 3),
+                "steady_state_ms": round(t_accel * 1e3, 1),
+                "engine": cfg_run.resolve_engine(),
+                "rev": rev,
             }
         )
     )

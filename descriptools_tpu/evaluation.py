@@ -98,23 +98,16 @@ def batch_fit(desc, bench, thresholds, under="under"):
     return jax.vmap(one)(jnp.asarray(thresholds))
 
 
-def calibration(desc, bench, under="under", backend="numpy"):
-    """Coarse-to-fine threshold search maximising Fit.
+def coarse_to_fine_search(fits_at):
+    """Threshold-search driver shared by every calibration backend.
 
-    Stage structure replicates evaluation.py:12-87 (see oracle docstring).
-    ``backend='numpy'`` is float64-exact; ``backend='jax'`` evaluates each
-    stage's threshold batch on-device.
+    ``fits_at(values, scale)`` evaluates Fit at the batch of thresholds
+    ``v/scale`` and returns a float64 array.  Stage structure, iteration
+    order and comparison strictness (>= in the first refinement, > after)
+    replicate the reference exactly (evaluation.py:12-87 /
+    oracle.calibration_oracle) — with equal Fit inputs every backend selects
+    the identical threshold.
     """
-    if backend == "numpy":
-        return oracle.calibration_oracle(np.asarray(desc), np.asarray(bench), under)
-
-    desc = jnp.asarray(desc)
-    bench = jnp.asarray(bench)
-
-    def fits_at(values, scale):
-        ths = jnp.asarray([v / scale for v in values], jnp.float32)
-        return np.asarray(batch_fit(desc, bench, ths, under=under), dtype=np.float64)
-
     f1, f2, f3 = fits_at([25, 50, 75], 100)
     if f3 > f2:
         fit_index, iteration_value = (f3, 75) if f3 > f1 else (f1, 25)
@@ -145,3 +138,23 @@ def calibration(desc, bench, under="under", backend="numpy"):
             fit_index, threshold = f, i
 
     return threshold / 10000
+
+
+def calibration(desc, bench, under="under", backend="numpy"):
+    """Coarse-to-fine threshold search maximising Fit.
+
+    Stage structure replicates evaluation.py:12-87 (see oracle docstring).
+    ``backend='numpy'`` is float64-exact; ``backend='jax'`` evaluates each
+    stage's threshold batch on-device.
+    """
+    if backend == "numpy":
+        return oracle.calibration_oracle(np.asarray(desc), np.asarray(bench), under)
+
+    desc = jnp.asarray(desc)
+    bench = jnp.asarray(bench)
+
+    def fits_at(values, scale):
+        ths = jnp.asarray([v / scale for v in values], jnp.float32)
+        return np.asarray(batch_fit(desc, bench, ths, under=under), dtype=np.float64)
+
+    return coarse_to_fine_search(fits_at)

@@ -18,7 +18,11 @@ Semantics are bit-identical to the XLA engines: the same pull8 select order
 gating.  Reference semantics: downslope.py:434-532 (threshold walk),
 flowhand.py:565-846 (walk-to-river); the recast rationale is in SURVEY §7.
 
-Single-device only; the sharded path keeps the XLA engine inside shard_map.
+These blocked kernels are the single-device >VMEM tier; the sharded path
+runs walk_vmem's whole-grid kernels per shard inside shard_map (flow via
+parallel/boundary.py, downslope via parallel/sharded.py with trunc
+tracking) and falls back to the XLA engines when a halo-extended shard
+outgrows VMEM.
 Grids are padded host-side to block multiples; the pad ring gets fdr=0
 (self-pull => inert), so padding never changes real-cell results.
 """
@@ -149,7 +153,8 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
 
     @pl.when(~active)
     def _():
-        _copy_through([d_hbm, zt_hbm], [d_out, zt_out], sems, by, bx, h)
+        _copy_through([d_hbm, zt_hbm], [d_out, zt_out], [w_d, w_zt],
+                      sems, by, bx, h)
         resd_out[:, :] = resd_in[:, :]
         resz_out[:, :] = resz_in[:, :]
 
@@ -296,19 +301,18 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 # ---------------------------------------------------------------------------
 
 
-def _copy_through(srcs, dsts, sems, by, bx, h):
-    """Quiescent block: forward the interior unchanged (no sweeps)."""
-    copies = [
-        pltpu.make_async_copy(
-            src.at[pl.ds(by * BH + h, BH), pl.ds(bx * BW + h, BW)],
-            dst, sems.at[i],
-        )
-        for i, (src, dst) in enumerate(zip(srcs, dsts))
-    ]
-    for c in copies:
-        c.start()
-    for c in copies:
-        c.wait()
+def _copy_through(srcs, dsts, scrs, sems, by, bx, h):
+    """Quiescent block: forward the interior unchanged (no sweeps).
+
+    Routed through the window scratch: a direct interior DMA would start at
+    lane offset ``bx*BW + h``, which Mosaic cannot prove 128-aligned for
+    h=64 (on-chip compile failure, caught by the round-3 blocked-tier parity
+    gate); the window start ``bx*BW`` is aligned, and the interior slice out
+    of VMEM uses static offsets like the active path."""
+    wh, ww = BH + 2 * h, BW + 2 * h
+    _window_dma(srcs, scrs, sems, by, bx, wh, ww)
+    for dst, scr in zip(dsts, scrs):
+        dst[:, :] = scr[h : h + BH, h : h + BW]
 
 
 def _flow_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, code_hbm, dist_hbm,
@@ -349,7 +353,8 @@ def _flow_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, code_hbm, dist_hbm,
 
     @pl.when(~active)
     def _():
-        _copy_through([code_hbm, dist_hbm], [code_out, dist_out], sems, by, bx, h)
+        _copy_through([code_hbm, dist_hbm], [code_out, dist_out],
+                      [w_code, w_dist], sems, by, bx, h)
 
 
 @functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))

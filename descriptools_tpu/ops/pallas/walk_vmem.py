@@ -62,12 +62,25 @@ DOWN_BAND = 64  # downslope holds 5 state rasters, so smaller temp bands
 PAD = 8  # inert rows above and below the grid; also sweeps per band visit
 
 VMEM_BYTES = 128 * 1024 * 1024
-_STATE_RASTERS = {"downslope": 5, "walk3": 4}
+# Grid-sized VMEM windows per kernel kind.  Mosaic allocates input AND
+# output windows separately even under input_output_aliases (measured
+# on-chip: the 6-input/2-output tracked kernel used 161 MB on the basin,
+# not 121 MB), so track mode budgets 6 inputs + 2 outputs = 8; the +2 in
+# fits_vmem covers band temporaries.
+_STATE_RASTERS = {"downslope": 5, "downslope_track": 8, "walk3": 4}
+
+# Truncation-tracking offset encoding (sharded trunc-retry support): ordinary
+# terminals encode as z - _OFF, TRUNCATED terminals (ops.downslope.trunc_cells
+# — the local block ran out of data mid-walk) as z - 2*_OFF.  The flag thus
+# rides the already-pulled Zt raster; no extra pull.  Exact for integer
+# elevations (f32 ulp at 2^21 is 0.25, and z - 2^21 is an integer < 2^24).
+_OFF2 = float(1 << 21)
+_T3 = float(3 << 19)  # -1.5*_OFF: below = truncated terminal encoding
 
 
 def fits_vmem(rows, cols, kind="downslope"):
     """True when the whole-grid kernel's state + temp headroom fits VMEM."""
-    band = DOWN_BAND if kind == "downslope" else FLOW_BAND
+    band = DOWN_BAND if kind.startswith("downslope") else FLOW_BAND
     rp, cp = _align(rows, cols, band)
     live = (_STATE_RASTERS[kind] + 2) * (rp + 2 * PAD) * cp * 4
     return live <= VMEM_BYTES
@@ -191,8 +204,12 @@ def _band_ext(ref, start, below, saved, band):
 def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
     """(fdist, indices) with the whole walk resolved in one kernel launch.
 
-    Bit-identical to ops.pallas.walk.flow_pallas / the XLA hybrid engine
-    (flowhand.py:565-846 truth table).  Runs on the Gauss-Seidel walk3
+    ``indices`` (and every integer truth-table output) is bit-identical to
+    ops.pallas.walk.flow_pallas / the XLA hybrid engine (flowhand.py:565-846
+    truth table).  ``fdist`` matches only up to f32 summation order: the
+    hybrid engine's phase-2 doubling associates the distance sum differently
+    on the compaction residue (~378k basin cells differ in the last ulps;
+    ops/flow.py module docstring).  Runs on the Gauss-Seidel walk3
     kernel: the extra steps raster it carries is what makes the reference's
     path-length cap exact under out-of-order resolution (same rule as
     ops/flow.py _flow_doubling: landed iff steps <= max_steps).
@@ -230,10 +247,24 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 
 
 def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
-                      res_out, flag_ref,
-                      *, px, elevation_difference, max_steps, nbands, band):
+                      *rest, px, elevation_difference, max_steps, nbands,
+                      band, track=False):
+    if track:
+        trc_ref, res_out, trc_out, flag_ref = rest
+    else:
+        trc_ref = trc_out = None
+        res_out, flag_ref = rest
     consts = _step_consts(px)
     ed = jnp.float32(elevation_difference)
+
+    def z_at_of(Zt):
+        # Decode the terminal offset encoding (double offset = truncated
+        # terminal, track mode only — the extra select is gated out of the
+        # single-device kernel to keep its sweep unchanged).
+        base = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+        if not track:
+            return base
+        return jnp.where(Zt < jnp.float32(-_T3), Zt + jnp.float32(_OFF2), base)
 
     # Per-band residual counters (SMEM), two regimes:
     #
@@ -282,26 +313,37 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
                 zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
                 z_ext = z_ref[pl.ds(base, band + 2 * PAD), :]
                 res_ext = res_ref[pl.ds(base, band + 2 * PAD), :]
+                trc_ext = (
+                    trc_ref[pl.ds(base, band + 2 * PAD), :] if track else None
+                )
                 thresh = z_ext - ed
 
                 def sweep_k(k, st):
-                    D, Zt, res = st
+                    D, Zt, res, trc = st
                     D = _pull_add(masks, D, consts)
                     Zt = _pull_sel(masks, Zt)
                     hit = jnp.isnan(res) & (Zt <= thresh)
-                    z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+                    z_at = z_at_of(Zt)
                     res = jnp.where(hit, (z_ext - z_at) / D, res)
-                    return (D, Zt, res)
+                    if track:
+                        # Truncated iff the stop is a double-offset terminal;
+                        # threshold stops (Zt un-offset) are exact.
+                        trc = jnp.where(
+                            hit & (Zt < jnp.float32(-_T3)), jnp.int32(1), trc
+                        )
+                    return (D, Zt, res, trc)
 
                 nk = jnp.clip(max_steps - t0, 0, PAD)
-                D, Zt, res = jax.lax.fori_loop(
-                    0, nk, sweep_k, (d_ext, zt_ext, res_ext)
+                D, Zt, res, trc = jax.lax.fori_loop(
+                    0, nk, sweep_k, (d_ext, zt_ext, res_ext, trc_ext)
                 )
                 Zt_c = Zt[PAD : PAD + band]
                 res_c = res[PAD : PAD + band]
                 d_ref[pl.ds(start, band), :] = D[PAD : PAD + band]
                 zt_ref[pl.ds(start, band), :] = Zt_c
                 res_ref[pl.ds(start, band), :] = res_c
+                if track:
+                    trc_ref[pl.ds(start, band), :] = trc[PAD : PAD + band]
                 flag_ref[b] = band_count(Zt_c, res_c)
 
             return nxt
@@ -323,9 +365,14 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
     D = d_ref[:, :]
     z = z_ref[:, :]
     res = res_ref[:, :]
-    z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+    z_at = z_at_of(Zt)
     partial_ = jnp.where(D == 0.0, 0.0, (z - z_at) / D)
     res_out[:, :] = jnp.where(jnp.isnan(res), partial_, res)
+    if track:
+        # Cap stops are exact (had the path reached any terminal it would
+        # have hit), so capped cells are never truncation-flagged — same
+        # rule as _downslope_jacobi's ``res_t & stopped``.
+        trc_out[:, :] = jnp.where(jnp.isnan(res), jnp.int32(0), trc_ref[:, :])
 
 
 @functools.partial(
@@ -333,19 +380,34 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
     static_argnames=("px", "elevation_difference", "max_steps", "interpret"),
 )
 def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
-                          max_steps=5000, interpret=False):
+                          max_steps=5000, trunc0=None, interpret=False):
     """Downslope index, whole walk in one kernel launch.
 
     Bit-identical to ops.downslope._downslope_jacobi (downslope.py:434-532
     spec): same pull order, same f32 accumulation, same cap semantics.
+
+    With ``trunc0`` (per-cell bool from ops.downslope.trunc_cells) also
+    returns an int32 raster flagging cells whose stop landed on a truncated
+    terminal — the sharded path's halo-doubling retry signal, threaded
+    through the walk as a double terminal offset on Zt (see _OFF2).  The
+    single-device path (trunc0=None) compiles the unchanged 5-raster kernel.
     """
     from descriptools_tpu.d8 import pull8
     from descriptools_tpu.ops.downslope import _terminal_and_step
 
+    track = trunc0 is not None
     rows, cols = dem.shape
     z, terminal, _stepd = _terminal_and_step(dem, fdr, px, NODATA)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
-    zt0 = jnp.where(terminal, z - _OFF, z)
+    if track:
+        trunc_t = terminal & jnp.asarray(trunc0, jnp.bool_)
+        zt0 = jnp.where(
+            terminal,
+            jnp.where(trunc_t, z - jnp.float32(_OFF2), z - _OFF),
+            z,
+        )
+    else:
+        zt0 = jnp.where(terminal, z - _OFF, z)
     res0 = jnp.where(terminal, 0.0, jnp.float32(jnp.nan))
     # Monotone-descent probe (terminal cells self-pull, so they compare
     # equal): selects the aggressive frozen-cell band-skip rule when every
@@ -362,26 +424,46 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     res_p = _pad(res0, rp, cp, 0.0)  # pad ring: resolved, never NaN
     d_p = jnp.zeros_like(z_p)
 
-    res = pl.pallas_call(
+    vma = jax.typeof(z_p).vma  # shard_map callers: outputs inherit mesh axes
+    inputs = [mono, fdr_p, z_p, d_p, zt_p, res_p]
+    out_shape = jax.ShapeDtypeStruct(z_p.shape, jnp.float32, vma=vma)
+    if track:
+        # Stopped-at-start cells carry their own flag (jacobi's res_t0).
+        trc0 = trunc_t.astype(jnp.int32)
+        inputs.append(_pad(trc0, rp, cp, 0))
+        out_shape = [
+            out_shape,
+            jax.ShapeDtypeStruct(z_p.shape, jnp.int32, vma=vma),
+        ]
+
+    out = pl.pallas_call(
         functools.partial(
             _downslope_kernel, px=px,
             elevation_difference=elevation_difference, max_steps=max_steps,
-            nbands=rp // DOWN_BAND, band=DOWN_BAND,
+            nbands=rp // DOWN_BAND, band=DOWN_BAND, track=track,
         ),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 5,
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(z_p.shape, jnp.float32),
-        input_output_aliases={5: 0},
+        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 if track else 5),
+        out_specs=(
+            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+            if track
+            else pl.BlockSpec(memory_space=pltpu.VMEM)
+        ),
+        out_shape=out_shape,
+        input_output_aliases={5: 0, 6: 1} if track else {5: 0},
         scratch_shapes=[pltpu.SMEM((rp // DOWN_BAND,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
         interpret=interpret,
-    )(mono, fdr_p, z_p, d_p, zt_p, res_p)
+    )(*inputs)
 
-    res = res[PAD : PAD + rows, :cols]
+    sl = np.s_[PAD : PAD + rows, :cols]
+    res = (out[0] if track else out)[sl]
     # res == 0 stops (terminal-at-start) encode their 0 directly in res0;
     # NODATA masking is the only post-pass.
-    return jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)
+    res = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)
+    if track:
+        return res, out[1][sl].astype(jnp.bool_)
+    return res
 
 
 # ---------------------------------------------------------------------------

@@ -50,8 +50,16 @@ def main():
     dem, fdr, river, fac = synthetic_basin(45, 53, seed=5)
     shape = dem.shape
     cfg = PipelineConfig()
+    # Synthetic flood benchmark derived from the (deterministic) HAND so the
+    # staged classification has a meaningful threshold to find.
+    from descriptools_tpu import oracle
+
+    _, idx0 = oracle.flow_distance_index_oracle(fdr, river, cfg.px)
+    hand0 = oracle.hand_oracle(dem.astype(np.int32), idx0)
+    flood = ((hand0 != NODATA) & (hand0 <= 5)).astype(np.uint8)
     rasters = dict(
-        dem=dem.astype(np.int32), fdr=fdr, river=river, fac=fac.astype(np.int32)
+        dem=dem.astype(np.int32), fdr=fdr, river=river,
+        fac=fac.astype(np.int32), flood=flood,
     )
     loaders = {
         k: (lambda ys, ye, xs, xe, a=v: a[ys:ye, xs:xe])
@@ -91,6 +99,20 @@ def main():
                 np.testing.assert_allclose(
                     data, ref, rtol=1e-5, atol=1e-4, err_msg=key
                 )
+
+    # Staged classification (psum confusion histograms, parallel/classify.py)
+    # must reproduce the host float64 classifier exactly — threshold, scores,
+    # and the class map bitwise per shard (reference evaluation.py:5-211).
+    from descriptools_tpu.pipeline import classify_flood
+
+    floodp = pad_to_mesh(flood.astype(np.int32), mesh, NODATA)
+    th, corr, fitv, cmap = classify_flood(exp["hand"], floodp)
+    assert out["threshold"] == th, (out["threshold"], th)
+    assert out["correctness"] == corr and out["fit"] == fitv
+    for shard in out["class_map"].addressable_shards:
+        np.testing.assert_array_equal(
+            np.asarray(shard.data), cmap[shard.index], err_msg="class_map"
+        )
     print(f"WORKER {pid} OK ({nprocs} processes)")
 
 

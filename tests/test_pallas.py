@@ -84,3 +84,89 @@ def test_flow_vmem_matches_hybrid(basin):
     wfd, widx = flow_distance_index(fdr, river, PX, max_steps=400)
     np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
     np.testing.assert_allclose(np.asarray(fd), np.asarray(wfd), rtol=1e-6, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial VMEM-kernel regimes (round-2 verdict, items 8b/8c): walks that
+# cross many 64-row bands, in both band-skip regimes, plus the Gauss-Seidel
+# walk3 on a tall grid with a long lateral channel — the inner-while-loop
+# cases the small basin fixture never reaches.
+# ---------------------------------------------------------------------------
+
+
+def _tall_north_basin(rows, cols, bump_every=None):
+    """Northward walks crossing rows/64 bands; optional ascending bumps
+    defeat the monotone-descent probe, forcing the mono=0 fallback."""
+    dem = np.broadcast_to(
+        np.round(np.arange(rows, dtype=np.float64) * 0.5 + 100.0)[:, None]
+        .astype(np.float32),
+        (rows, cols),
+    ).copy()
+    if bump_every:
+        dem[::bump_every, :] += 3.0  # step from the row below ASCENDS
+    fdr = np.full((rows, cols), 64, np.uint8)  # all north
+    return dem, fdr
+
+
+@pytest.mark.parametrize("bump_every", [None, 37])
+def test_downslope_vmem_tall_multiband(bump_every):
+    """Monotone (aggressive frozen-cell band skip) and non-monotone
+    (mono=0 fallback) regimes, walks ~100 cells long across 5 bands."""
+    from descriptools_tpu.ops.downslope import downslope
+    from descriptools_tpu.ops.pallas.walk_vmem import downslope_pallas_vmem
+
+    dem, fdr = _tall_north_basin(320, 128, bump_every)
+    got = np.asarray(
+        downslope_pallas_vmem(dem, fdr, PX, 50.0, max_steps=600,
+                              interpret=True)
+    )
+    want = np.asarray(downslope(dem, fdr, PX, 50.0, max_steps=600))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_flow_vmem_gauss_seidel_tall_lateral_channel():
+    """Tall grid (3 FLOW_BANDs) with ~500-step paths: east along each row,
+    then north up the last column to the river — drives the walk3 inner
+    convergence loop far past the PAD-sweep regime."""
+    from descriptools_tpu.ops.flow import flow_distance_index
+    from descriptools_tpu.ops.pallas.walk_vmem import flow_pallas_vmem
+
+    rows, cols = 384, 128
+    fdr = np.full((rows, cols), 1, np.uint8)  # east
+    fdr[:, -1] = 64  # last column: north
+    river = np.zeros((rows, cols), np.int8)
+    river[0, -1] = 1
+    fd, idx = flow_pallas_vmem(fdr, river, PX, max_steps=1000, interpret=True)
+    wfd, widx = flow_distance_index(fdr, river, PX, max_steps=1000)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(wfd),
+                               rtol=1e-6, atol=1e-4)
+
+
+def test_downslope_vmem_trunc_tracking_matches_jacobi():
+    """trunc0 threading (the sharded retry signal) through the VMEM kernel:
+    result AND flags bitwise vs the XLA jacobi, in both band-skip regimes."""
+    import jax.numpy as jnp
+
+    from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
+    from descriptools_tpu.ops.pallas.walk_vmem import downslope_pallas_vmem
+
+    rows, cols = 64, 128
+    dem = np.broadcast_to(
+        (1000.0 - 0.01 * np.arange(cols)).astype(np.float32), (rows, cols)
+    ).copy()
+    fdr = np.full((rows, cols), 1, np.uint8)  # gentle eastward flat walk
+    for bump in (None, 40):
+        d = dem.copy()
+        if bump:
+            d[:, bump] += 3.0
+        d, f = jnp.asarray(d), jnp.asarray(fdr)
+        # Block is a window of a wider global grid: east edge truncates.
+        tr0 = trunc_cells(d, f, 0, 0, rows, 4 * cols)
+        assert int(tr0.sum()) == rows
+        want, wtr = _downslope_jacobi(d, f, PX, 5.0, 5000, trunc0=tr0)
+        got, gtr = downslope_pallas_vmem(d, f, PX, 5.0, max_steps=5000,
+                                         trunc0=tr0, interpret=True)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        np.testing.assert_array_equal(np.asarray(gtr), np.asarray(wtr))
+        assert np.asarray(gtr).any()  # the flat walk really is truncated
