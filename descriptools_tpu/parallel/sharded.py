@@ -333,7 +333,7 @@ def sharded_downslope(
 
 def sharded_suite(
     dem, fdr, fac, river, cfg, mesh,
-    downslope_halo=64, shape=None, fac0=None, crop=True,
+    downslope_halo=64, shape=None, fac0=None, crop=True, stage_hook=None,
 ):
     """Full descriptor suite over the mesh (slope, TWI, mod-TWI, downslope,
     fdist, indices, HAND, GFI, ln(hl/H)).  Mirrors pipeline.descriptor_suite.
@@ -342,6 +342,10 @@ def sharded_suite(
     the global grid; see sharded_suite_staged).  Pointwise maps run as
     plain jit over the sharded arrays — XLA partitions elementwise ops
     without data movement.
+
+    ``stage_hook(name, compute)`` intercepts each stage ('slope', 'flow',
+    'downslope', 'pointwise'; compute() -> dict of padded staged arrays) —
+    parallel/ckpt.stage_hook uses it for shard-aware checkpoint/resume.
     """
     from descriptools_tpu.ops.topo import (
         modified_topographic_index,
@@ -356,38 +360,61 @@ def sharded_suite(
     fac_s = _staged(fac, mesh, NODATA)
     if fac0 is None:
         fac0 = float(np.asarray(fac).reshape(-1)[0])
+    hook = stage_hook if stage_hook is not None else (lambda _n, f: f())
 
-    sl = sharded_slope(dem_s, cfg.px, mesh, shape=shape, crop=crop)
-    fdist, indices, hand, river_fac = sharded_flow_hand(
-        dem_s, fdr_s, river_s, fac_s, cfg.px, mesh,
-        max_steps=cfg.flow_max_steps, shape=shape, fac0=fac0, crop=crop,
-        engine=cfg.resolve_engine(),
-    )
-    down = sharded_downslope(
-        dem_s, fdr_s, cfg.px, cfg.elevation_difference, mesh,
-        halo=downslope_halo, max_steps=cfg.downslope_max_steps,
-        shape=shape, crop=crop, engine=cfg.resolve_engine(),
-    )
+    # Stages compute on the PADDED grid (shard-save-friendly, and pointwise
+    # padding cells never influence real cells); crop once at the end.
+    out = dict(hook("slope", lambda: {
+        "slope": sharded_slope(dem_s, cfg.px, mesh, shape=shape, crop=False)
+    }))
+    out.update(hook("flow", lambda: dict(zip(
+        ("fdist", "indices", "hand", "river_fac"),
+        sharded_flow_hand(
+            dem_s, fdr_s, river_s, fac_s, cfg.px, mesh,
+            max_steps=cfg.flow_max_steps, shape=shape, fac0=fac0,
+            crop=False, engine=cfg.resolve_engine(),
+        ),
+    ))))
+    out.update(hook("downslope", lambda: {
+        "downslope": sharded_downslope(
+            dem_s, fdr_s, cfg.px, cfg.elevation_difference, mesh,
+            halo=downslope_halo, max_steps=cfg.downslope_max_steps,
+            shape=shape, crop=False, engine=cfg.resolve_engine(),
+        )
+    }))
 
-    dem_j = jnp.asarray(dem_s, jnp.float32)
-    fac_j = fac_s
-    if crop:
-        dem_j = crop_from_mesh(dem_j, shape)
-        fac_j = crop_from_mesh(fac_j, shape)
-    sl_rad = jnp.where(dem_j == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0))
-    twi = topographic_index(fac_j, sl_rad, cfg.px)
-    mtwi = modified_topographic_index(fac_j, sl_rad, cfg.px, cfg.n_topo)
-    geofi = _gfi(hand, river_fac, cfg.n_gfi, cfg.b_gfi, cfg.px)
-    lnhlh = _ln_hl_h(hand, fac_j, cfg.n_gfi, cfg.b_gfi, cfg.px)
-    return dict(
-        slope=sl, slope_rad=sl_rad, twi=twi, mod_twi=mtwi, downslope=down,
-        fdist=fdist, indices=indices, hand=hand, river_fac=river_fac,
-        gfi=geofi, ln_hl_h=lnhlh,
-    )
+    def _pointwise():
+        dem_j = jnp.asarray(dem_s, jnp.float32)
+        sl_rad = jnp.where(
+            dem_j == NODATA, jnp.float32(NODATA),
+            jnp.arctan(out["slope"] / 100.0),
+        )
+        return dict(
+            slope_rad=sl_rad,
+            twi=topographic_index(fac_s, sl_rad, cfg.px),
+            mod_twi=modified_topographic_index(
+                fac_s, sl_rad, cfg.px, cfg.n_topo
+            ),
+            gfi=_gfi(out["hand"], out["river_fac"], cfg.n_gfi, cfg.b_gfi,
+                     cfg.px),
+            ln_hl_h=_ln_hl_h(out["hand"], fac_s, cfg.n_gfi, cfg.b_gfi,
+                             cfg.px),
+        )
+
+    out.update(hook("pointwise", _pointwise))
+    if not crop:
+        return out
+    padded_cols = out["hand"].shape[1]
+    return {
+        k: (_crop_indices(v, shape, padded_cols) if k == "indices"
+            else crop_from_mesh(v, shape))
+        for k, v in out.items()
+    }
 
 
 def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
-                         crop=True, dtypes=None, under="under"):
+                         crop=True, dtypes=None, under="under",
+                         ckpt_dir=None):
     """Full suite with per-host shard staging: NO process ever materialises
     a global raster (mandatory at the 1e9-cell north star; SURVEY §2.10's
     from-scratch communication layer).
@@ -405,6 +432,12 @@ def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
     pipeline.classify_flood), adding ``threshold`` / ``correctness`` /
     ``fit`` / ``class_map`` to the result.  Reference spec:
     evaluation.py:12-87 + Example/example.py:106-147.
+
+    ``ckpt_dir`` enables shard-aware stage checkpoint/resume: every process
+    durably saves only its addressable shard blocks after each stage and a
+    restarted run (same OR different process count over the same mesh
+    decomposition) resumes after the last complete stage, bitwise
+    (parallel/ckpt.py; SURVEY §5).
     """
     from descriptools_tpu.parallel.multihost import stage_padded
 
@@ -420,10 +453,24 @@ def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
     # The reference's river_accumulation fac.flat[0] fallback (gfi.py:141):
     # read the single corner cell from the loader, identically on each host.
     fac0 = float(np.asarray(loaders["fac"](0, 1, 0, 1)).reshape(-1)[0])
+    hook = None
+    if ckpt_dir is not None:
+        from dataclasses import asdict
+
+        from descriptools_tpu.parallel import ckpt as _ckpt
+
+        manifest = dict(
+            shape=[int(s) for s in shape],
+            mesh=[int(s) for s in mesh.devices.shape],
+            downslope_halo=int(downslope_halo),
+            **{k: (v if isinstance(v, (int, float, str)) else str(v))
+               for k, v in asdict(cfg).items()},
+        )
+        hook = _ckpt.stage_hook(ckpt_dir, mesh, manifest)
     out = sharded_suite(
         dem, fdr, fac, river, cfg, mesh,
         downslope_halo=downslope_halo, shape=shape, fac0=fac0,
-        crop=False if "flood" in loaders else crop,
+        crop=False if "flood" in loaders else crop, stage_hook=hook,
     )
     if "flood" not in loaders:
         return out

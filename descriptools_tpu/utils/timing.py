@@ -15,11 +15,19 @@ import jax.numpy as jnp
 
 
 def sync(tree):
-    """Force completion of every computation feeding ``tree``."""
-    leaves = jax.tree.leaves(tree)
-    for leaf in leaves:
-        if hasattr(leaf, "ravel"):
-            float(jnp.sum(jnp.asarray(leaf).ravel()[:1]))
+    """Force completion of every computation feeding ``tree``.
+
+    ONE scalar readback for the whole tree: each readback is a ~27 ms relay
+    round trip, so per-leaf syncing would dominate (and once over-reported a
+    ~170 ms suite as ~400 ms); combining the leaves into a single fused
+    scalar costs one extra tiny dispatch but only one round trip."""
+    leaves = [
+        jnp.asarray(leaf).ravel()[:1].astype(jnp.float32)
+        for leaf in jax.tree.leaves(tree)
+        if hasattr(leaf, "ravel")
+    ]
+    if leaves:
+        float(jnp.sum(jnp.concatenate(leaves)))
     return tree
 
 
