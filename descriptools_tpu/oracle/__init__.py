@@ -29,6 +29,7 @@ from descriptools_tpu.oracle.core import (
     topographic_index_oracle,
     modified_topographic_index_oracle,
     downslope_oracle,
+    downslope_oracle_trunc,
     flow_distance_index_oracle,
     hand_oracle,
     river_accumulation_oracle,
@@ -49,6 +50,7 @@ __all__ = [
     "topographic_index_oracle",
     "modified_topographic_index_oracle",
     "downslope_oracle",
+    "downslope_oracle_trunc",
     "flow_distance_index_oracle",
     "hand_oracle",
     "river_accumulation_oracle",

@@ -121,6 +121,69 @@ def downslope_oracle(dem, fdr, px, elevation_difference, max_steps=DOWNSLOPE_MAX
     return out
 
 
+def downslope_oracle_trunc(dem, fdr, px, elevation_difference,
+                           max_steps=DOWNSLOPE_MAX_STEPS):
+    """Vectorized twin of ``downslope_oracle`` returning ``(out, trunc)``.
+
+    Identical per-cell semantics (same stop-condition order: threshold,
+    dead-end fdr, border exit, NoData target; reference
+    downslope.py:160-314), evaluated for all cells synchronously with
+    active-set compaction so window-sized grids check in seconds.
+
+    ``trunc[i, j]`` is True when the walk stopped by stepping off the ARRAY
+    edge: on a full grid that is a genuine global-border terminal (result
+    still exact — asserted bitwise vs downslope_oracle in tests), but on a
+    windowed sub-grid the global walk would have continued, so windowed
+    spot checks (scripts/config5_1e9.py) must skip trunc cells.
+    """
+    dem = np.asarray(dem, dtype=np.float64)
+    fdr = np.asarray(fdr)
+    rows, cols = dem.shape
+    # Code -> (dy, dx, step) tables over the full uint8 range.
+    tdy = np.zeros(256, np.int64)
+    tdx = np.zeros(256, np.int64)
+    ts = np.zeros(256, np.float64)
+    tvalid = np.zeros(256, bool)
+    for c, (dy, dx, s) in _D8_LUT.items():
+        if 0 <= c < 256:
+            tdy[c], tdx[c], ts[c], tvalid[c] = dy, dx, s, True
+    code = np.where((fdr >= 0) & (fdr < 256), fdr, 0).astype(np.int64)
+
+    valid = dem != NODATA
+    n = rows * cols
+    cy, cx = np.divmod(np.arange(n, dtype=np.int64), cols)
+    dist = np.zeros(n, np.float64)
+    z0 = dem.reshape(-1)
+    trunc = np.zeros(n, bool)
+    active = np.flatnonzero(valid.reshape(-1))
+
+    for _ in range(max_steps):
+        if active.size == 0:
+            break
+        y, x = cy[active], cx[active]
+        zc = dem[y, x]
+        go = z0[active] - zc < elevation_difference  # threshold not reached
+        c = code[y, x]
+        ok = go & tvalid[c]
+        ny, nx = y + tdy[c], x + tdx[c]
+        inside = (ny >= 0) & (ny < rows) & (nx >= 0) & (nx < cols)
+        trunc[active[ok & ~inside]] = True
+        move = ok & inside
+        tgt_nd = np.zeros_like(move)
+        tgt_nd[move] = dem[ny[move], nx[move]] == NODATA
+        move &= ~tgt_nd
+        mi = active[move]
+        cy[mi] = ny[move]
+        cx[mi] = nx[move]
+        dist[mi] += px * ts[c[move]]
+        active = mi
+
+    zend = dem[cy, cx]
+    out = np.where(dist == 0.0, 0.0, (z0 - zend) / np.where(dist == 0, 1, dist))
+    out = np.where(valid.reshape(-1), out, float(NODATA))
+    return out.reshape(rows, cols), trunc.reshape(rows, cols)
+
+
 def flow_distance_index_oracle(fdr, river, px, max_steps=FLOW_MAX_STEPS):
     """Flow distance to nearest drainage + river-cell flat index.
 

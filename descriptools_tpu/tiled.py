@@ -13,13 +13,18 @@ in descriptools_tpu.parallel is preferred when a mesh is available).
 """
 
 import math
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from descriptools_tpu.constants import FLOW_MAX_STEPS, NODATA
+from descriptools_tpu.constants import (
+    DOWNSLOPE_MAX_STEPS,
+    FLOW_MAX_STEPS,
+    NODATA,
+)
 from descriptools_tpu.parallel import boundary
 
 
@@ -157,3 +162,315 @@ def tiled_flow_hand(dem, fdr, river, fac, px, tile_rows=2048, tile_cols=2048,
             indices == NODATA, NODATA, (indices // C) * shape[1] + indices % C
         )
     return fdist, indices, hand, river_fac
+
+
+# ---------------------------------------------------------------------------
+# Loader-fed out-of-core suite (the 1e9-cell north-star form, BASELINE
+# config 5): no full-grid host copy anywhere — inputs arrive through
+# windowed loaders, outputs stream to disk memmaps, and the cross-tile flow
+# stitching spills compacted per-tile summaries instead of keeping the grid
+# resident.  Same exact machinery (boundary ring reduction, trunc-retry
+# downslope) as the in-core paths, so integer outputs stay bitwise.
+# ---------------------------------------------------------------------------
+
+
+def load_window(loader, ys, ye, xs, xe, shape, fill, dtype, halo=0):
+    """Window [ys:ye, xs:xe] plus ``halo`` rim from a windowed loader;
+    positions beyond the global ``shape`` are ``fill`` (the padded-grid
+    NoData convention every engine expects)."""
+    rows, cols = shape
+    out = np.full((ye - ys + 2 * halo, xe - xs + 2 * halo), fill, dtype)
+    cy0, cy1 = max(ys - halo, 0), min(ye + halo, rows)
+    cx0, cx1 = max(xs - halo, 0), min(xe + halo, cols)
+    if cy1 > cy0 and cx1 > cx0:
+        out[
+            cy0 - (ys - halo) : cy1 - (ys - halo),
+            cx0 - (xs - halo) : cx1 - (xs - halo),
+        ] = loader(cy0, cy1, cx0, cx1)
+    return out
+
+
+def _local_compact(dem, fdr, river, fac, iy, ix, h, w, R, C, nx, px,
+                   max_steps, engine, interpret):
+    """Pass-A device body: local flow summary compacted for the host spill.
+
+    The host-side combine (pass B) only needs per-cell
+    (status, dist, steps, slot, ridx, rz, rfac) — tgy/tgx collapse to the
+    ring-table ``slot`` here, and status/steps narrow to u8/u16, cutting the
+    device->host spill from 32 to 23 bytes/cell.  Ring records keep the full
+    field set for solve_ring.
+    """
+    loc = boundary.local_flow_summary(
+        dem, fdr, river, fac, iy, ix, h, w, R, C, px,
+        max_steps=max_steps, engine=engine, interpret=interpret,
+    )
+    ring_sel = jnp.asarray(boundary.ring_indices(h, w))
+    ring = {k: v[ring_sel] for k, v in loc.items()}
+    ring_len = 2 * (h + w)
+    G = (R // h) * nx * ring_len
+    slot = jnp.clip(
+        boundary.slot_of(loc["tgy"], loc["tgx"], h, w, nx, ring_len), 0, G - 1
+    )
+    steps_t = jnp.uint16 if max_steps + 1 < (1 << 16) else jnp.int32
+    compact = dict(
+        status=loc["status"].astype(jnp.uint8),
+        dist=loc["dist"],
+        steps=loc["steps"].astype(steps_t),
+        slot=slot.astype(jnp.int32),
+        ridx=loc["ridx"],
+        rz=loc["rz"],
+        rfac=loc["rfac"],
+    )
+    return compact, ring
+
+
+def _combine_host(loc, solved, max_steps):
+    """Pass-B host combine — numpy mirror of boundary.combine on the
+    compacted spill.  All ops are IEEE f32 adds / integer selects, so the
+    result is bitwise-identical to the device combine (and therefore to the
+    sharded and single-device paths' integer outputs)."""
+    is_exit = loc["status"] == boundary.EXIT
+    slot = loc["slot"]
+    status = np.where(is_exit, solved["status"][slot], loc["status"].astype(np.int32))
+    dist = np.where(is_exit, loc["dist"] + solved["dist"][slot], loc["dist"])
+    steps = loc["steps"].astype(np.int32) + np.where(
+        is_exit, solved["steps"][slot], 0
+    )
+    ridx = np.where(is_exit, solved["ridx"][slot], loc["ridx"])
+    rz = np.where(is_exit, solved["rz"][slot], loc["rz"])
+    rfac = np.where(is_exit, solved["rfac"][slot], loc["rfac"])
+    landed = (status == boundary.RIVER) & (steps <= max_steps)
+    return landed, dist, ridx, rz, rfac
+
+
+def _alloc_out(out_dir, name, shape, dtype):
+    if out_dir is None:
+        return np.empty(shape, dtype)
+    return np.lib.format.open_memmap(
+        os.path.join(out_dir, name + ".npy"), mode="w+", dtype=dtype,
+        shape=tuple(int(s) for s in shape),
+    )
+
+
+def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
+                out_dir=None, downslope_halo=64, engine="auto",
+                interpret=False, progress=None):
+    """Full descriptor suite, out of core, fed by windowed loaders.
+
+    ``loaders``: {'dem','fdr','river','fac'} -> ``f(ys, ye, xs, xe) -> array``
+    (windowed GeoTIFF/Zarr readers, or utils.synthetic.windowed_basin).  The
+    dem loader should return an integer dtype for bitwise HAND parity
+    (Example feeds int16; reference golden spec example.py:215-217).
+
+    Returns the same keys as pipeline.descriptor_suite; values are np
+    memmaps under ``out_dir`` (or RAM arrays if ``out_dir`` is None).
+    Integer outputs (indices, hand, downslope) are bitwise-identical to the
+    single-device suite; floats match up to f32 summation order (fdist) and
+    exactly elsewhere.
+
+    Passes (each one streaming tile loads/stores, nothing global resident):
+      A. per-tile local flow walk on device -> compacted spill + ring records
+      B. ring solve on device (tiny) -> per-tile HOST combine (pure f32/int,
+         bitwise equal to the device combine; avoids re-uploading the spill)
+         fused with C. per-tile device pointwise (slope stencil via 1-cell
+         loader halo, TWI/mod-TWI/GFI/ln(hl/H))
+      D. per-tile downslope with ``downslope_halo`` rim and exact
+         truncation-retry (halo doubles per tile until no interior walk is
+         cut; ops.downslope.trunc_cells — the sharded path's guarantee).
+    """
+    from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
+    from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
+    from descriptools_tpu.ops.slope import slope_from_padded
+    from descriptools_tpu.ops.topo import (
+        modified_topographic_index,
+        topographic_index,
+    )
+
+    if engine == "auto":
+        engine = "pallas" if jax.default_backend() == "tpu" else "xla"
+    rows, cols = shape
+    h, w = tile_rows, tile_cols
+    ny, nx, R, C = _tile_grid(shape, h, w)
+    if R * C >= 1 << 31:
+        raise ValueError(
+            f"padded grid {R}x{C} overflows int32 flat river indices"
+        )
+    note = progress if progress is not None else (lambda *_: None)
+    dem_dt = np.asarray(loaders["dem"](0, 1, 0, 1)).dtype
+    max_steps = cfg.flow_max_steps
+
+    spill_dt = dict(
+        status=np.uint8, dist=np.float32,
+        steps=np.uint16 if max_steps + 1 < (1 << 16) else np.int32,
+        slot=np.int32, ridx=np.int32, rz=np.float32, rfac=np.float32,
+    )
+    spill = {
+        k: _alloc_out(out_dir, "_flowloc_" + k, (ny * nx, h * w), dt)
+        for k, dt in spill_dt.items()
+    }
+
+    local_fn = jax.jit(partial(
+        _local_compact, h=h, w=w, R=R, C=C, nx=nx, px=cfg.px,
+        max_steps=max_steps, engine=engine, interpret=interpret,
+    ))
+
+    def tile_windows(halo=0):
+        for iy in range(ny):
+            for ix in range(nx):
+                yield iy, ix, iy * h, ix * w
+
+    rings = []
+    for iy, ix, ys, xs in tile_windows():
+        args = [
+            load_window(loaders[k], ys, ys + h, xs, xs + w, shape, f, dt)
+            for k, f, dt in (
+                ("dem", NODATA, dem_dt), ("fdr", 0, np.uint8),
+                ("river", 0, np.int8), ("fac", NODATA, np.int32),
+            )
+        ]
+        compact, ring = jax.device_get(
+            local_fn(*args, jnp.int32(iy), jnp.int32(ix))
+        )
+        t = iy * nx + ix
+        for k in spill:
+            spill[k][t] = compact[k]
+        rings.append(ring)
+        note("flow-local", t, ny * nx)
+
+    ring = {k: jnp.asarray(np.concatenate([r[k] for r in rings]))
+            for k in rings[0]}
+    solved = {
+        k: np.asarray(v) for k, v in jax.device_get(jax.jit(partial(
+            boundary.solve_ring, h=h, w=w, nx=nx, max_steps=max_steps
+        ))(ring)).items()
+    }
+    del ring, rings
+
+    out = {
+        k: _alloc_out(out_dir, k, shape, dt)
+        for k, dt in (
+            ("slope", np.float32), ("slope_rad", np.float32),
+            ("twi", np.float32), ("mod_twi", np.float32),
+            ("downslope", np.float32), ("fdist", np.float32),
+            ("indices", np.int32), ("hand", dem_dt),
+            ("gfi", np.float32), ("ln_hl_h", np.float32),
+        )
+    }
+
+    @jax.jit
+    def pointwise_fn(dem_ext, fac_t, hand_t, river_fac_t):
+        dem_f = jnp.asarray(dem_ext, jnp.float32)
+        sl = slope_from_padded(dem_f, cfg.px)
+        dem_c = dem_f[1:-1, 1:-1]
+        sl_rad = jnp.where(
+            dem_c == NODATA, jnp.float32(NODATA), jnp.arctan(sl / 100.0)
+        )
+        return dict(
+            slope=sl,
+            slope_rad=sl_rad,
+            twi=topographic_index(fac_t, sl_rad, cfg.px),
+            mod_twi=modified_topographic_index(
+                fac_t, sl_rad, cfg.px, cfg.n_topo
+            ),
+            gfi=_gfi(hand_t, river_fac_t, cfg.n_gfi, cfg.b_gfi, cfg.px),
+            ln_hl_h=_ln_hl_h(hand_t, fac_t, cfg.n_gfi, cfg.b_gfi, cfg.px),
+        )
+
+    fac0 = np.float32(np.asarray(loaders["fac"](0, 1, 0, 1)).reshape(-1)[0])
+    for iy, ix, ys, xs in tile_windows():
+        t = iy * nx + ix
+        loc = {k: np.asarray(spill[k][t]) for k in spill}
+        landed, dist, ridx, rz, rfac = _combine_host(loc, solved, max_steps)
+        dem_t = load_window(
+            loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA, dem_dt
+        )
+        dem_flat = dem_t.reshape(-1)
+        fd = np.where(landed, dist, np.float32(NODATA)).reshape(h, w)
+        ix_t = np.where(landed, ridx, np.int32(NODATA)).reshape(h, w)
+        hd = np.where(
+            (dem_flat != NODATA) & landed,
+            np.maximum(dem_flat - rz.astype(dem_dt), 0),
+            np.asarray(NODATA, dem_dt),
+        ).reshape(h, w)
+        rf = np.where(landed, rfac, fac0).reshape(h, w).astype(np.float32)
+        if C != cols:
+            ix_t = np.where(
+                ix_t == NODATA, NODATA, (ix_t // C) * cols + ix_t % C
+            )
+        fac_t = load_window(
+            loaders["fac"], ys, ys + h, xs, xs + w, shape, NODATA, np.int32
+        )
+        dem_ext = load_window(
+            loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA, dem_dt,
+            halo=1,
+        )
+        pw = jax.device_get(pointwise_fn(dem_ext, fac_t, hd, rf))
+        ye, xe = min(ys + h, rows), min(xs + w, cols)
+        cut = np.s_[: ye - ys, : xe - xs]
+        sl_out = np.s_[ys:ye, xs:xe]
+        out["fdist"][sl_out] = fd[cut]
+        out["indices"][sl_out] = ix_t[cut]
+        out["hand"][sl_out] = hd[cut]
+        for k in ("slope", "slope_rad", "twi", "mod_twi", "gfi", "ln_hl_h"):
+            out[k][sl_out] = pw[k][cut]
+        note("combine+pointwise", t, ny * nx)
+
+    # Pass D: exact downslope, per-tile halo with truncation retry.
+    from descriptools_tpu.ops.pallas.walk_vmem import (
+        downslope_pallas_vmem,
+        fits_vmem,
+    )
+
+    @partial(jax.jit, static_argnames=("halo", "eng"))
+    def downslope_fn(dem_ext, fdr_ext, y0, x0, halo, eng):
+        dem_f = jnp.asarray(dem_ext, jnp.float32)
+        tr0 = trunc_cells(dem_f, fdr_ext, y0, x0, R, C)
+        if eng == "pallas":
+            o, tr = downslope_pallas_vmem(
+                dem_f, fdr_ext, cfg.px, cfg.elevation_difference,
+                max_steps=cfg.downslope_max_steps, trunc0=tr0,
+                interpret=interpret,
+            )
+        else:
+            o, tr = _downslope_jacobi(
+                dem_f, fdr_ext, cfg.px, cfg.elevation_difference,
+                cfg.downslope_max_steps, trunc0=tr0,
+            )
+        inner = o[halo:-halo, halo:-halo] if halo else o
+        tr_in = tr[halo:-halo, halo:-halo] if halo else tr
+        return inner, jnp.any(tr_in)
+
+    for iy, ix, ys, xs in tile_windows():
+        halo = int(min(downslope_halo, max(R, C), cfg.downslope_max_steps + 1))
+        while True:
+            eng = engine
+            if eng == "pallas" and not fits_vmem(
+                h + 2 * halo, w + 2 * halo, kind="downslope_track"
+            ):
+                eng = "xla"
+            dem_ext = load_window(
+                loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA,
+                dem_dt, halo=halo,
+            )
+            fdr_ext = load_window(
+                loaders["fdr"], ys, ys + h, xs, xs + w, shape, 0, np.uint8,
+                halo=halo,
+            )
+            dn, trunc = jax.device_get(downslope_fn(
+                dem_ext, fdr_ext, jnp.int32(ys - halo), jnp.int32(xs - halo),
+                halo=halo, eng=eng,
+            ))
+            if halo >= max(R, C) or not bool(trunc):
+                break
+            halo = min(2 * halo, max(R, C), cfg.downslope_max_steps + 1)
+        ye, xe = min(ys + h, rows), min(xs + w, cols)
+        out["downslope"][ys:ye, xs:xe] = dn[: ye - ys, : xe - xs]
+        note("downslope", iy * nx + ix, ny * nx)
+
+    for k in spill:
+        arr = spill[k]
+        if isinstance(arr, np.memmap):
+            path = arr.filename
+            del arr
+            os.remove(path)
+    return out

@@ -57,6 +57,116 @@ def d8_from_dem(dem, nodata=NODATA):
     return np.where(dem == nodata, 0, code).astype(np.uint8)
 
 
+def _hash01(gy, gx, cols, salt):
+    """Deterministic per-cell uniform in [0, 1): splitmix64 finalizer of the
+    global flat index.  Pure elementwise — any window of any shape yields
+    bitwise the same value for the same (gy, gx), which is what makes the
+    windowed generator below self-consistent across out-of-core tiles."""
+    u64 = np.uint64
+    i = gy.astype(np.uint64)[:, None] * u64(cols) + gx.astype(np.uint64)[None, :]
+    with np.errstate(over="ignore"):
+        z = i * u64(0x9E3779B97F4A7C15) + u64(salt) * u64(0xD1B54A32D192ED03)
+        z = (z ^ (z >> u64(30))) * u64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> u64(27))) * u64(0x94D049BB133111EB)
+        z = z ^ (z >> u64(31))
+    return (z >> u64(11)).astype(np.float64) * (1.0 / (1 << 53))
+
+
+def windowed_basin(rows, cols, seed=0, smooth=7, amp=80.0, river_level=0.40):
+    """Window-consistent synthetic basin for out-of-core runs: returns
+    loaders {'dem','fdr','river','fac'}, each ``f(ys, ye, xs, xe) -> array``.
+
+    Every window is bitwise-identical to the corresponding slice of the
+    virtual global raster regardless of how it is windowed (the 1e9-cell
+    north-star inputs can't be materialised per process; SURVEY §7 step 6).
+    Construction mirrors ``synthetic_basin`` — smooth blurred noise + ramp,
+    NoData corner blob, steepest-descent D8, low-elevation river set — but
+    every primitive is local: hash noise per cell, ``smooth``-wide window
+    mean via a fixed-order shifted-slice sum (cumsum would round differently
+    per window origin), analytic ramp, and a fixed absolute river elevation
+    (a quantile would be a global reduction).
+    """
+    half = smooth // 2
+    scale = amp * 3.464 / (smooth * smooth)  # blurred-uniform std ~ 0.14*amp
+    rthresh = np.float64(400.0 + amp * river_level)
+
+    def _noise_padded(ys, ye, xs, xe, pad):
+        """Raw noise on the padded window, zero outside the global grid
+        (np.convolve 'same' zero-pad semantics at grid borders)."""
+        ys0, ye0, xs0, xe0 = ys - pad, ye + pad, xs - pad, xe + pad
+        out = np.zeros((ye0 - ys0, xe0 - xs0), np.float64)
+        cy0, cy1 = max(ys0, 0), min(ye0, rows)
+        cx0, cx1 = max(xs0, 0), min(xe0, cols)
+        if cy1 > cy0 and cx1 > cx0:
+            out[cy0 - ys0 : cy1 - ys0, cx0 - xs0 : cx1 - xs0] = (
+                _hash01(np.arange(cy0, cy1), np.arange(cx0, cx1), cols, seed)
+                - 0.5
+            )
+        return out
+
+    def _win_sum(a, axis):
+        """Width-``smooth`` sliding sum, fixed accumulation order."""
+        n = a.shape[axis] - 2 * half
+        sl = [slice(None)] * a.ndim
+        sl[axis] = slice(0, n)
+        acc = a[tuple(sl)].copy()
+        for k in range(1, smooth):
+            sl[axis] = slice(k, k + n)
+            acc += a[tuple(sl)]
+        return acc
+
+    def dem(ys, ye, xs, xe):
+        nb = _win_sum(_win_sum(_noise_padded(ys, ye, xs, xe, half), 0), 1)
+        gy = np.arange(ys, ye, dtype=np.int64)
+        gx = np.arange(xs, xe, dtype=np.int64)
+        ramp = (1.0 - gy / (rows - 1))[:, None] + (
+            0.5 * (1.0 - gx / (cols - 1))
+        )[None, :]
+        d = np.round(400.0 + scale * nb + amp * ramp)
+        blob = (gy[:, None] + 1.3 * gx[None, :]) < 0.25 * (rows + cols)
+        d[blob] = NODATA
+        return d.astype(np.int32)
+
+    def _dem_halo1(ys, ye, xs, xe):
+        """dem on the window plus a 1-cell rim, NODATA beyond the grid."""
+        out = np.full((ye - ys + 2, xe - xs + 2), NODATA, np.int32)
+        cy0, cy1 = max(ys - 1, 0), min(ye + 1, rows)
+        cx0, cx1 = max(xs - 1, 0), min(xe + 1, cols)
+        out[cy0 - ys + 1 : cy1 - ys + 1, cx0 - xs + 1 : cx1 - xs + 1] = dem(
+            cy0, cy1, cx0, cx1
+        )
+        return out
+
+    def fdr(ys, ye, xs, xe):
+        pad = _dem_halo1(ys, ye, xs, xe).astype(np.float64)
+        d = pad[1:-1, 1:-1]
+        best = np.zeros(d.shape)
+        code = np.zeros(d.shape, np.int32)
+        h, w = d.shape
+        for c, dy, dx, s in zip(D8_CODES, D8_DY, D8_DX, D8_STEP):
+            nbr = pad[1 + dy : 1 + dy + h, 1 + dx : 1 + dx + w]
+            grad = (d - nbr) / float(s)
+            ok = (nbr != NODATA) & (grad > best)
+            best = np.where(ok, grad, best)
+            code = np.where(ok, int(c), code)
+        return np.where(d == NODATA, 0, code).astype(np.uint8)
+
+    def river(ys, ye, xs, xe):
+        d = dem(ys, ye, xs, xe)
+        return ((d <= rthresh) & (d != NODATA)).astype(np.int8)
+
+    def fac(ys, ye, xs, xe):
+        d = dem(ys, ye, xs, xe)
+        u = _hash01(
+            np.arange(ys, ye), np.arange(xs, xe), cols, seed + 0x5EED
+        )
+        return np.where(
+            d != NODATA, (u * 200000).astype(np.int32), np.int32(NODATA)
+        )
+
+    return dict(dem=dem, fdr=fdr, river=river, fac=fac)
+
+
 def synthetic_basin(rows, cols, seed=0, river_quantile=0.15):
     """(dem, fdr, river, fac) for a synthetic basin.
 

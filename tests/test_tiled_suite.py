@@ -1,0 +1,213 @@
+"""Loader-fed out-of-core suite (tiled_suite) + windowed synthetic inputs.
+
+The 1e9-cell north-star path (BASELINE config 5): inputs arrive through
+windowed loaders, nothing global is ever materialised, and the result must
+stay bitwise-identical (integers) to the in-core single-device suite.
+"""
+
+import numpy as np
+import pytest
+
+from descriptools_tpu.constants import NODATA
+from descriptools_tpu.pipeline import PipelineConfig, descriptor_suite
+from descriptools_tpu.tiled import tiled_suite
+from descriptools_tpu.utils.synthetic import synthetic_basin, windowed_basin
+
+CFG = PipelineConfig(engine="xla")
+
+
+def array_loaders(dem, fdr, river, fac):
+    def L(a):
+        return lambda ys, ye, xs, xe: a[ys:ye, xs:xe]
+
+    return dict(dem=L(dem), fdr=L(fdr), river=L(river), fac=L(fac))
+
+
+# ---------------------------------------------------------------------------
+# windowed_basin: window-consistency (the property everything else rests on)
+# ---------------------------------------------------------------------------
+
+
+def test_windowed_basin_windows_bitwise_consistent():
+    rows, cols = 97, 141
+    loaders = windowed_basin(rows, cols, seed=9)
+    full = {k: f(0, rows, 0, cols) for k, f in loaders.items()}
+    rng = np.random.default_rng(0)
+    for _ in range(6):
+        ys, xs = rng.integers(0, rows - 1), rng.integers(0, cols - 1)
+        ye = rng.integers(ys + 1, rows + 1)
+        xe = rng.integers(xs + 1, cols + 1)
+        for k, f in loaders.items():
+            np.testing.assert_array_equal(
+                f(ys, ye, xs, xe), full[k][ys:ye, xs:xe], err_msg=k
+            )
+
+
+def test_windowed_basin_has_all_walk_features():
+    loaders = windowed_basin(160, 160, seed=4)
+    dem = loaders["dem"](0, 160, 0, 160)
+    fdr = loaders["fdr"](0, 160, 0, 160)
+    river = loaders["river"](0, 160, 0, 160)
+    assert (dem == NODATA).any() and (dem != NODATA).any()
+    assert (fdr == 0).any() and (fdr != 0).any()
+    assert river.sum() > 50
+
+
+def test_windowed_basin_huge_virtual_grid_cheap_windows():
+    """Loaders over a >2^30-cell virtual grid must produce windows without
+    materialising anything global (the whole point of the loader form)."""
+    rows = cols = 33000  # 1.089e9 cells
+    loaders = windowed_basin(rows, cols, seed=1)
+    w = loaders["dem"](rows - 64, rows, cols - 64, cols)
+    assert w.shape == (64, 64) and (w != NODATA).any()
+    f = loaders["fdr"](rows - 64, rows, cols - 64, cols)
+    assert f.shape == (64, 64)
+
+
+# ---------------------------------------------------------------------------
+# int32 flat-index guard math at the >2^30-cell scale (round-2 verdict #2)
+# ---------------------------------------------------------------------------
+
+
+def test_tiled_suite_int32_guard_raises_past_2pow31():
+    loaders = windowed_basin(46342, 46342, seed=0)
+    with pytest.raises(ValueError, match="overflows int32"):
+        tiled_suite(loaders, (46342, 46342), CFG, tile_rows=4096,
+                    tile_cols=4096)
+
+
+def test_ridx_int32_exact_at_corner_of_2pow30_grid():
+    """local_flow_summary's packed int32 global river indices must stay
+    exact at the far corner of a 32768^2 (2^30-cell) grid — the config-5
+    coordinate range, where iy*h+fy ~ 32767 and ridx ~ 2^30."""
+    import jax.numpy as jnp
+
+    from descriptools_tpu.parallel.boundary import local_flow_summary
+
+    R = C = 32768
+    h = w = 64
+    iy = ix = R // h - 1  # far-corner tile
+    rows = cols = 64
+    loaders = windowed_basin(R, C, seed=2)
+    dem = loaders["dem"](R - rows, R, C - cols, C)
+    fdr = loaders["fdr"](R - rows, R, C - cols, C)
+    river = np.ones((rows, cols), np.int8)  # all river: ridx = own cell
+    fac = loaders["fac"](R - rows, R, C - cols, C)
+    loc = local_flow_summary(
+        jnp.asarray(dem), jnp.asarray(fdr), jnp.asarray(river),
+        jnp.asarray(fac), jnp.int32(iy), jnp.int32(ix), h, w, R, C, 12.5,
+    )
+    got = np.asarray(loc["ridx"]).reshape(rows, cols)
+    yy = np.arange(R - rows, R, dtype=np.int64)[:, None]
+    xx = np.arange(C - cols, C, dtype=np.int64)[None, :]
+    want = yy * C + xx
+    assert want.max() == R * C - 1 == 2**30 - 1
+    valid = fdr != 0  # fdr==0 cells are NaN-absorbers, not river
+    np.testing.assert_array_equal(got[valid], want[valid].astype(np.int32))
+
+
+# ---------------------------------------------------------------------------
+# tiled_suite vs the in-core single-device suite
+# ---------------------------------------------------------------------------
+
+
+def _assert_suite_matches(got, want):
+    for k in ("indices", "hand", "downslope"):
+        np.testing.assert_array_equal(
+            np.asarray(got[k]), np.asarray(want[k]), err_msg=k
+        )
+    for k in ("slope", "slope_rad", "twi", "mod_twi", "gfi", "ln_hl_h"):
+        np.testing.assert_allclose(
+            np.asarray(got[k]), np.asarray(want[k]), rtol=1e-6, atol=1e-6,
+            err_msg=k,
+        )
+    np.testing.assert_allclose(
+        np.asarray(got["fdist"]), np.asarray(want["fdist"]),
+        rtol=1e-4, atol=1e-2,
+    )
+
+
+def test_tiled_suite_matches_incore_suite():
+    dem, fdr, river, fac = synthetic_basin(75, 83, seed=52)
+    dem = dem.astype(np.int32)
+    fac = fac.astype(np.int32)
+    got = tiled_suite(
+        array_loaders(dem, fdr, river, fac), (75, 83), CFG,
+        tile_rows=32, tile_cols=28,
+    )
+    want = descriptor_suite(dem, fdr, fac, river, CFG)
+    _assert_suite_matches(got, want)
+
+
+def test_tiled_suite_from_windowed_loaders_memmap(tmp_path):
+    """End-to-end config-5 form in miniature: windowed synthetic loaders,
+    memmap outputs on disk, bitwise integers vs the in-core suite."""
+    rows, cols = 96, 112
+    loaders = windowed_basin(rows, cols, seed=7)
+    got = tiled_suite(
+        loaders, (rows, cols), CFG, tile_rows=48, tile_cols=32,
+        out_dir=str(tmp_path),
+    )
+    assert isinstance(got["hand"], np.memmap)
+    dem = loaders["dem"](0, rows, 0, cols)
+    fdr = loaders["fdr"](0, rows, 0, cols)
+    river = loaders["river"](0, rows, 0, cols)
+    fac = loaders["fac"](0, rows, 0, cols)
+    want = descriptor_suite(dem, fdr, fac, river, CFG)
+    _assert_suite_matches(got, want)
+    # spill files are cleaned up, outputs remain
+    leftovers = [p.name for p in tmp_path.iterdir() if "_flowloc_" in p.name]
+    assert leftovers == []
+
+
+def test_tiled_suite_downslope_trunc_retry_bitwise():
+    """Adversarial long-flat walk: gentle 1-unit drop every 20 columns means
+    a 5 m threshold needs ~100 steps, far past the starting halo of 4 —
+    the per-tile truncation retry must widen until bitwise-exact."""
+    rows, cols = 48, 256
+    jj = np.arange(cols)
+    dem = (1000 - jj // 20).astype(np.int32) * np.ones((rows, 1), np.int32)
+    fdr = np.full((rows, cols), 1, np.uint8)  # all east
+    river = np.zeros((rows, cols), np.int8)
+    river[:, -2] = 1
+    fac = np.full((rows, cols), 10, np.int32)
+    got = tiled_suite(
+        array_loaders(dem, fdr, river, fac), (rows, cols), CFG,
+        tile_rows=32, tile_cols=32, downslope_halo=4,
+    )
+    want = descriptor_suite(dem, fdr, fac, river, CFG)
+    np.testing.assert_array_equal(
+        np.asarray(got["downslope"]), np.asarray(want["downslope"])
+    )
+    np.testing.assert_array_equal(
+        np.asarray(got["indices"]), np.asarray(want["indices"])
+    )
+
+
+def test_downslope_oracle_trunc_matches_oracle_full_grid():
+    """The vectorized trunc-aware oracle twin must equal downslope_oracle
+    on full grids (where array edge == global border)."""
+    from descriptools_tpu import oracle
+
+    dem, fdr, _, _ = synthetic_basin(60, 74, seed=13)
+    got, trunc = oracle.downslope_oracle_trunc(dem, fdr, 12.5, 5.0)
+    want = oracle.downslope_oracle(dem, fdr, 12.5, 5.0)
+    np.testing.assert_array_equal(got, want)
+    assert trunc.dtype == bool
+
+
+def test_downslope_oracle_trunc_flags_window_edge_walks():
+    """On a window cut from a larger grid, non-trunc cells must match the
+    full-grid oracle restricted to the window; trunc cells are the ones
+    whose walk left the window."""
+    from descriptools_tpu import oracle
+
+    dem, fdr, _, _ = synthetic_basin(90, 90, seed=14)
+    full = oracle.downslope_oracle(dem, fdr, 12.5, 5.0)
+    ys, ye, xs, xe = 20, 60, 25, 70
+    got, trunc = oracle.downslope_oracle_trunc(
+        dem[ys:ye, xs:xe], fdr[ys:ye, xs:xe], 12.5, 5.0
+    )
+    ok = ~trunc
+    np.testing.assert_array_equal(got[ok], full[ys:ye, xs:xe][ok])
+    assert trunc.any()  # some walks do leave this interior window
