@@ -319,8 +319,21 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             for ix in range(nx):
                 yield iy, ix, iy * h, ix * w
 
-    rings = []
-    for iy, ix, ys, xs in tile_windows():
+    def _prefetched(thunks):
+        """One-ahead prefetch on a worker thread: host-side window
+        generation / spill reads overlap the device compute + relay
+        transfers of the previous tile (both release the GIL)."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        thunks = list(thunks)
+        with ThreadPoolExecutor(1) as ex:
+            fut = ex.submit(thunks[0]) if thunks else None
+            for i in range(len(thunks)):
+                res = fut.result()
+                fut = ex.submit(thunks[i + 1]) if i + 1 < len(thunks) else None
+                yield res
+
+    def _local_inputs(iy, ix, ys, xs):
         args = [
             load_window(loaders[k], ys, ys + h, xs, xs + w, shape, f, dt)
             for k, f, dt in (
@@ -328,6 +341,13 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                 ("river", 0, np.int8), ("fac", NODATA, np.int32),
             )
         ]
+        return iy, ix, args
+
+    rings = []
+    for iy, ix, args in _prefetched(
+        partial(_local_inputs, iy, ix, ys, xs)
+        for iy, ix, ys, xs in tile_windows()
+    ):
         compact, ring = jax.device_get(
             local_fn(*args, jnp.int32(iy), jnp.int32(ix))
         )
@@ -377,14 +397,26 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
         )
 
     fac0 = np.float32(np.asarray(loaders["fac"](0, 1, 0, 1)).reshape(-1)[0])
-    for iy, ix, ys, xs in tile_windows():
+
+    def _combine_inputs(iy, ix, ys, xs):
         t = iy * nx + ix
         loc = {k: np.asarray(spill[k][t]) for k in spill}
-        landed, dist, ridx, rz, rfac = _combine_host(loc, solved, max_steps)
-        dem_t = load_window(
-            loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA, dem_dt
+        fac_t = load_window(
+            loaders["fac"], ys, ys + h, xs, xs + w, shape, NODATA, np.int32
         )
-        dem_flat = dem_t.reshape(-1)
+        dem_ext = load_window(
+            loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA, dem_dt,
+            halo=1,
+        )
+        return iy, ix, ys, xs, loc, fac_t, dem_ext
+
+    for iy, ix, ys, xs, loc, fac_t, dem_ext in _prefetched(
+        partial(_combine_inputs, iy, ix, ys, xs)
+        for iy, ix, ys, xs in tile_windows()
+    ):
+        t = iy * nx + ix
+        landed, dist, ridx, rz, rfac = _combine_host(loc, solved, max_steps)
+        dem_flat = dem_ext[1:-1, 1:-1].reshape(-1)
         fd = np.where(landed, dist, np.float32(NODATA)).reshape(h, w)
         ix_t = np.where(landed, ridx, np.int32(NODATA)).reshape(h, w)
         hd = np.where(
@@ -397,13 +429,6 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             ix_t = np.where(
                 ix_t == NODATA, NODATA, (ix_t // C) * cols + ix_t % C
             )
-        fac_t = load_window(
-            loaders["fac"], ys, ys + h, xs, xs + w, shape, NODATA, np.int32
-        )
-        dem_ext = load_window(
-            loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA, dem_dt,
-            halo=1,
-        )
         pw = jax.device_get(pointwise_fn(dem_ext, fac_t, hd, rf))
         ye, xe = min(ys + h, rows), min(xs + w, cols)
         cut = np.s_[: ye - ys, : xe - xs]
@@ -440,22 +465,30 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
         tr_in = tr[halo:-halo, halo:-halo] if halo else tr
         return inner, jnp.any(tr_in)
 
-    for iy, ix, ys, xs in tile_windows():
-        halo = int(min(downslope_halo, max(R, C), cfg.downslope_max_steps + 1))
+    halo0 = int(min(downslope_halo, max(R, C), cfg.downslope_max_steps + 1))
+
+    def _walk_inputs(iy, ix, ys, xs, halo):
+        dem_ext = load_window(
+            loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA,
+            dem_dt, halo=halo,
+        )
+        fdr_ext = load_window(
+            loaders["fdr"], ys, ys + h, xs, xs + w, shape, 0, np.uint8,
+            halo=halo,
+        )
+        return iy, ix, ys, xs, dem_ext, fdr_ext
+
+    for iy, ix, ys, xs, dem_ext, fdr_ext in _prefetched(
+        partial(_walk_inputs, iy, ix, ys, xs, halo0)
+        for iy, ix, ys, xs in tile_windows()
+    ):
+        halo = halo0
         while True:
             eng = engine
             if eng == "pallas" and not fits_vmem(
                 h + 2 * halo, w + 2 * halo, kind="downslope_track"
             ):
                 eng = "xla"
-            dem_ext = load_window(
-                loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA,
-                dem_dt, halo=halo,
-            )
-            fdr_ext = load_window(
-                loaders["fdr"], ys, ys + h, xs, xs + w, shape, 0, np.uint8,
-                halo=halo,
-            )
             dn, trunc = jax.device_get(downslope_fn(
                 dem_ext, fdr_ext, jnp.int32(ys - halo), jnp.int32(xs - halo),
                 halo=halo, eng=eng,
@@ -463,6 +496,7 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             if halo >= max(R, C) or not bool(trunc):
                 break
             halo = min(2 * halo, max(R, C), cfg.downslope_max_steps + 1)
+            _, _, _, _, dem_ext, fdr_ext = _walk_inputs(iy, ix, ys, xs, halo)
         ye, xe = min(ys + h, rows), min(xs + w, cols)
         out["downslope"][ys:ye, xs:xe] = dn[: ye - ys, : xe - xs]
         note("downslope", iy * nx + ix, ny * nx)
