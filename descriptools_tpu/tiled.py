@@ -508,3 +508,102 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             del arr
             os.remove(path)
     return out
+
+
+def tiled_classify_flood(hand, flood_loader, shape, under="under",
+                         out_dir=None, tile_rows=4096, tile_cols=4096,
+                         progress=None):
+    """Streaming flood-map calibration + classification over an out-of-core
+    HAND raster — the tiled twin of ``pipeline.classify_flood`` and
+    ``parallel.classify.sharded_classify_flood``, selecting the IDENTICAL
+    float64 threshold (reference evaluation.py:12-87) while touching one
+    tile at a time.
+
+    ``hand``: (rows, cols) array or np.memmap, integer-valued (integer DEM
+    input); ``flood_loader(ys, ye, xs, xe)`` windows the benchmark map.
+    Every full-raster scan of the reference's calibration becomes one
+    streaming pass accumulating int64 TP/FP/FN per threshold batch; the
+    float64 scaled predicate reduces to an exact integer cutoff
+    (parallel/classify._integer_cutoff).  Returns
+    (threshold, correctness, fit, class_map uint8 [memmap if out_dir]).
+    """
+    from descriptools_tpu.evaluation import coarse_to_fine_search
+    from descriptools_tpu.parallel.classify import _integer_cutoff
+
+    rows, cols = shape
+    h, w = tile_rows, tile_cols
+    ny, nx, _R, _C = _tile_grid(shape, h, w)
+    note = progress if progress is not None else (lambda *_: None)
+
+    def tiles():
+        for iy in range(ny):
+            for ix in range(nx):
+                ys, xs = iy * h, ix * w
+                yield ys, min(ys + h, rows), xs, min(xs + w, cols)
+
+    # Pass 1: min / second-distinct-min / max (np.unique(hand)[1]/[-1], the
+    # reference's NoData-skipping range, pipeline.classify_flood).
+    m1 = np.inf
+    m2 = np.inf
+    mx = -np.inf
+    nonint = 0
+    for ys, ye, xs, xe in tiles():
+        a = np.asarray(hand[ys:ye, xs:xe], np.float64)
+        t1 = float(a.min())
+        rest = a[a != t1]
+        t2 = float(rest.min()) if rest.size else np.inf
+        lo, hi = sorted((t1, m1))
+        m1 = lo
+        m2 = min(m2 if m2 != lo else np.inf, hi if hi != lo else np.inf, t2)
+        mx = max(mx, float(a.max()))
+        nonint += int((a[a != NODATA] % 1 != 0).sum())
+    if nonint:
+        raise ValueError(
+            "HAND is not integer-valued; exact streaming calibration "
+            "requires an integer DEM — use pipeline.classify_flood"
+        )
+    mn = m2  # elements[1]: smallest value distinct from the global min
+    if not np.isfinite(mn) or mx <= mn:
+        raise ValueError(f"degenerate HAND value range [{mn}, {mx}]")
+
+    h00 = float(np.asarray(hand[0:1, 0:1], np.float64)[0, 0])
+    probe_live = h00 != NODATA
+
+    def counts_at(cuts):
+        acc = np.zeros((len(cuts), 3), np.int64)  # tp, fp, fn
+        for ys, ye, xs, xe in tiles():
+            a = np.asarray(hand[ys:ye, xs:xe])
+            b = np.asarray(flood_loader(ys, ye, xs, xe))
+            valid = (a != NODATA) & ~(probe_live & (a == h00))
+            flooded = b == 1  # bench 1 -> 2 (flooded), NODATA -> 0
+            n_fl = int(flooded.sum())
+            for k, cut in enumerate(cuts):
+                hit = a <= cut if under == "under" else a >= cut
+                pred = valid & hit
+                tp = int((pred & flooded).sum())
+                fp = int(pred.sum()) - tp
+                acc[k] += (tp, fp, n_fl - tp)
+        return acc
+
+    def fits_at(values, scale):
+        cuts = [_integer_cutoff(v / scale, mn, mx, under) for v in values]
+        c = counts_at(cuts).astype(np.float64)
+        return c[:, 0] / (c[:, 0] + c[:, 2] + c[:, 1])
+
+    th = coarse_to_fine_search(fits_at)
+    cut = _integer_cutoff(th, mn, mx, under)
+    tp, fp, fn = counts_at([cut])[0].astype(np.float64)
+    correctness = tp / (fn + tp)
+    fit = tp / (tp + fn + fp)
+
+    class_map = _alloc_out(out_dir, "class_map", shape, np.uint8)
+    for t, (ys, ye, xs, xe) in enumerate(tiles()):
+        a = np.asarray(hand[ys:ye, xs:xe])
+        b = np.asarray(flood_loader(ys, ye, xs, xe)).astype(np.int32)
+        valid = (a != NODATA) & ~(probe_live & (a == h00))
+        hit = a <= cut if under == "under" else a >= cut
+        pred = (valid & hit).astype(np.uint8)
+        bnorm = np.where(b == 1, 2, np.where(b == NODATA, 0, b))
+        class_map[ys:ye, xs:xe] = pred + bnorm.astype(np.uint8)
+        note("classify", t, ny * nx)
+    return th, float(correctness), float(fit), class_map

@@ -164,7 +164,16 @@ def windowed_basin(rows, cols, seed=0, smooth=7, amp=80.0, river_level=0.40):
             d != NODATA, (u * 200000).astype(np.int32), np.int32(NODATA)
         )
 
-    return dict(dem=dem, fdr=fdr, river=river, fac=fac)
+    def flood(ys, ye, xs, xe):
+        """Synthetic benchmark flood map: the low-elevation belt just above
+        the river level (so calibration has a real optimum), NoData where
+        the DEM is NoData — the reference benchmark's value set {NODATA,0,1}
+        (Example/example.py:106, evaluation.py:149-150)."""
+        d = dem(ys, ye, xs, xe)
+        wet = (d <= rthresh + 0.125 * amp).astype(np.int32)
+        return np.where(d == NODATA, np.int32(NODATA), wet)
+
+    return dict(dem=dem, fdr=fdr, river=river, fac=fac, flood=flood)
 
 
 def synthetic_basin(rows, cols, seed=0, river_quantile=0.15):

@@ -187,6 +187,33 @@ def main():
     rng = np.random.default_rng(11)
     checks = sample_checks(loaders, shape, out, cfg, rng)
 
+    # End-to-end: streaming flood classification over the HAND memmap
+    # (identical float64 threshold to the host classifier; bitwise unit
+    # test at small scale in tests/test_tiled_suite.py).
+    from descriptools_tpu.tiled import tiled_classify_flood
+
+    t0 = time.time()
+    th, corr, fit, class_map = tiled_classify_flood(
+        out["hand"], loaders["flood"], shape,
+        out_dir=args.out_dir, tile_rows=args.tile, tile_cols=args.tile,
+    )
+    t_classify = time.time() - t0
+    # Window invariants: class code = prediction + 2*benchmark-flooded.
+    for _ in range(3):
+        ys = int(rng.integers(0, shape[0] - 256))
+        xs = int(rng.integers(0, shape[1] - 256))
+        cm = np.asarray(class_map[ys : ys + 256, xs : xs + 256])
+        fl = loaders["flood"](ys, ys + 256, xs, xs + 256)
+        if not ((cm >= 2) == (fl == 1)).all():
+            checks["ok"] = False
+            checks.setdefault("failures", []).append(
+                f"class_map benchmark bit wrong at ({ys},{xs})"
+            )
+    checks["classification"] = dict(
+        threshold=float(th), correctness=float(corr), fit=float(fit),
+        seconds=round(t_classify, 1),
+    )
+
     result = {
         "config": 5,
         "backend": jax.default_backend(),

@@ -211,3 +211,25 @@ def test_downslope_oracle_trunc_flags_window_edge_walks():
     ok = ~trunc
     np.testing.assert_array_equal(got[ok], full[ys:ye, xs:xe][ok])
     assert trunc.any()  # some walks do leave this interior window
+
+
+def test_tiled_classify_flood_matches_host_classifier():
+    """Streaming calibration must select the identical float64 threshold
+    and produce the identical class map as pipeline.classify_flood."""
+    from descriptools_tpu.pipeline import classify_flood
+    from descriptools_tpu.tiled import tiled_classify_flood
+
+    rows, cols = 96, 112
+    loaders = windowed_basin(rows, cols, seed=7)
+    got = tiled_suite(loaders, (rows, cols), CFG, tile_rows=48, tile_cols=32)
+    hand = np.asarray(got["hand"])
+    flood = loaders["flood"](0, rows, 0, cols)
+
+    th_t, corr_t, fit_t, cm_t = tiled_classify_flood(
+        hand, loaders["flood"], (rows, cols), tile_rows=40, tile_cols=36
+    )
+    th_h, corr_h, fit_h, cm_h = classify_flood(hand, flood)
+    assert th_t == th_h
+    assert corr_t == pytest.approx(corr_h, abs=0)
+    assert fit_t == pytest.approx(fit_h, abs=0)
+    np.testing.assert_array_equal(cm_t, cm_h)
