@@ -46,10 +46,13 @@ def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
         checks.setdefault("failures", []).append(msg)
 
     for wi in range(n_windows):
-        ys = int(rng.integers(0, rows - win))
-        xs = int(rng.integers(0, cols - win))
-        ye, xe = ys + win, xs + win
-        dem = loaders["dem"](ys, ye, xs, xe)
+        for _ in range(30):  # the NoData corner blob covers whole windows
+            ys = int(rng.integers(0, rows - win))
+            xs = int(rng.integers(0, cols - win))
+            ye, xe = ys + win, xs + win
+            dem = loaders["dem"](ys, ye, xs, xe)
+            if (dem != -100).mean() > 0.5:
+                break
         fac = loaders["fac"](ys, ye, xs, xe)
         river = loaders["river"](ys, ye, xs, xe)
         rec = dict(ys=ys, xs=xs)
@@ -69,7 +72,9 @@ def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
         )
         twi = np.asarray(out["twi"][ys:ye, xs:xe], np.float64)
         v = (twi != -100) & (twi_o != -100)
-        rec["twi_max_abs_err"] = float(np.max(np.abs(twi[v] - twi_o[v])))
+        rec["twi_max_abs_err"] = (
+            float(np.max(np.abs(twi[v] - twi_o[v]))) if v.any() else 0.0
+        )
         if rec["twi_max_abs_err"] > 1e-3:
             fail(f"twi window {wi}")
 
