@@ -333,6 +333,20 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                 fut = ex.submit(thunks[i + 1]) if i + 1 < len(thunks) else None
                 yield res
 
+    def _overlapped(items, dispatch, finish):
+        """Keep one tile in flight: dispatch tile t's (async) device work,
+        then block on tile t-1's device_get + host writes — the dominant
+        device->host relay transfer overlaps the next tile's upload and
+        compute.  ``finish`` runs in tile order."""
+        prev = None
+        for item in items:
+            cur = dispatch(item)
+            if prev is not None:
+                finish(*prev)
+            prev = cur
+        if prev is not None:
+            finish(*prev)
+
     def _local_inputs(iy, ix, ys, xs):
         args = [
             load_window(loaders[k], ys, ys + h, xs, xs + w, shape, f, dt)
@@ -344,18 +358,25 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
         return iy, ix, args
 
     rings = []
-    for iy, ix, args in _prefetched(
-        partial(_local_inputs, iy, ix, ys, xs)
-        for iy, ix, ys, xs in tile_windows()
-    ):
-        compact, ring = jax.device_get(
-            local_fn(*args, jnp.int32(iy), jnp.int32(ix))
-        )
+
+    def _finish_local(tag, dev):
+        iy, ix = tag
+        compact, ring = jax.device_get(dev)
         t = iy * nx + ix
         for k in spill:
             spill[k][t] = compact[k]
         rings.append(ring)
         note("flow-local", t, ny * nx)
+
+    _overlapped(
+        _prefetched(
+            partial(_local_inputs, iy, ix, ys, xs)
+            for iy, ix, ys, xs in tile_windows()
+        ),
+        lambda it: ((it[0], it[1]),
+                    local_fn(*it[2], jnp.int32(it[0]), jnp.int32(it[1]))),
+        _finish_local,
+    )
 
     ring = {k: jnp.asarray(np.concatenate([r[k] for r in rings]))
             for k in rings[0]}
@@ -399,6 +420,9 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
     fac0 = np.float32(np.asarray(loaders["fac"](0, 1, 0, 1)).reshape(-1)[0])
 
     def _combine_inputs(iy, ix, ys, xs):
+        """Prefetch-thread work for pass B+C: spill read, window loads AND
+        the host combine (pure numpy) all overlap the previous tile's
+        device round-trip."""
         t = iy * nx + ix
         loc = {k: np.asarray(spill[k][t]) for k in spill}
         fac_t = load_window(
@@ -408,13 +432,6 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             loaders["dem"], ys, ys + h, xs, xs + w, shape, NODATA, dem_dt,
             halo=1,
         )
-        return iy, ix, ys, xs, loc, fac_t, dem_ext
-
-    for iy, ix, ys, xs, loc, fac_t, dem_ext in _prefetched(
-        partial(_combine_inputs, iy, ix, ys, xs)
-        for iy, ix, ys, xs in tile_windows()
-    ):
-        t = iy * nx + ix
         landed, dist, ridx, rz, rfac = _combine_host(loc, solved, max_steps)
         dem_flat = dem_ext[1:-1, 1:-1].reshape(-1)
         fd = np.where(landed, dist, np.float32(NODATA)).reshape(h, w)
@@ -429,7 +446,17 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             ix_t = np.where(
                 ix_t == NODATA, NODATA, (ix_t // C) * cols + ix_t % C
             )
-        pw = jax.device_get(pointwise_fn(dem_ext, fac_t, hd, rf))
+        return iy, ix, ys, xs, fac_t, dem_ext, fd, ix_t, hd, rf
+
+    def _dispatch_pw(item):
+        iy, ix, ys, xs, fac_t, dem_ext, fd, ix_t, hd, rf = item
+        return (iy, ix, ys, xs, fd, ix_t, hd), pointwise_fn(
+            dem_ext, fac_t, hd, rf
+        )
+
+    def _finish_pw(tag, dev):
+        iy, ix, ys, xs, fd, ix_t, hd = tag
+        pw = jax.device_get(dev)
         ye, xe = min(ys + h, rows), min(xs + w, cols)
         cut = np.s_[: ye - ys, : xe - xs]
         sl_out = np.s_[ys:ye, xs:xe]
@@ -438,7 +465,16 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
         out["hand"][sl_out] = hd[cut]
         for k in ("slope", "slope_rad", "twi", "mod_twi", "gfi", "ln_hl_h"):
             out[k][sl_out] = pw[k][cut]
-        note("combine+pointwise", t, ny * nx)
+        note("combine+pointwise", iy * nx + ix, ny * nx)
+
+    _overlapped(
+        _prefetched(
+            partial(_combine_inputs, iy, ix, ys, xs)
+            for iy, ix, ys, xs in tile_windows()
+        ),
+        _dispatch_pw,
+        _finish_pw,
+    )
 
     # Pass D: exact downslope, per-tile halo with truncation retry.
     from descriptools_tpu.ops.pallas.walk_vmem import (
@@ -478,28 +514,46 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
         )
         return iy, ix, ys, xs, dem_ext, fdr_ext
 
-    for iy, ix, ys, xs, dem_ext, fdr_ext in _prefetched(
-        partial(_walk_inputs, iy, ix, ys, xs, halo0)
-        for iy, ix, ys, xs in tile_windows()
-    ):
+    def _resolve_walk_eng(halo):
+        if engine == "pallas" and not fits_vmem(
+            h + 2 * halo, w + 2 * halo, kind="downslope_track"
+        ):
+            return "xla"
+        return engine
+
+    def _dispatch_walk(item):
+        iy, ix, ys, xs, dem_ext, fdr_ext = item
+        return (iy, ix, ys, xs), downslope_fn(
+            dem_ext, fdr_ext, jnp.int32(ys - halo0), jnp.int32(xs - halo0),
+            halo=halo0, eng=_resolve_walk_eng(halo0),
+        )
+
+    def _finish_walk(tag, dev):
+        iy, ix, ys, xs = tag
+        dn, trunc = jax.device_get(dev)
         halo = halo0
-        while True:
-            eng = engine
-            if eng == "pallas" and not fits_vmem(
-                h + 2 * halo, w + 2 * halo, kind="downslope_track"
-            ):
-                eng = "xla"
-            dn, trunc = jax.device_get(downslope_fn(
-                dem_ext, fdr_ext, jnp.int32(ys - halo), jnp.int32(xs - halo),
-                halo=halo, eng=eng,
-            ))
-            if halo >= max(R, C) or not bool(trunc):
-                break
+        while bool(trunc) and halo < max(R, C):
+            # Rare truncation retry: rerun THIS tile synchronously with a
+            # doubled halo until no interior walk is cut (exactness
+            # guarantee, mirrors parallel.sharded.sharded_downslope).
             halo = min(2 * halo, max(R, C), cfg.downslope_max_steps + 1)
             _, _, _, _, dem_ext, fdr_ext = _walk_inputs(iy, ix, ys, xs, halo)
+            dn, trunc = jax.device_get(downslope_fn(
+                dem_ext, fdr_ext, jnp.int32(ys - halo), jnp.int32(xs - halo),
+                halo=halo, eng=_resolve_walk_eng(halo),
+            ))
         ye, xe = min(ys + h, rows), min(xs + w, cols)
         out["downslope"][ys:ye, xs:xe] = dn[: ye - ys, : xe - xs]
         note("downslope", iy * nx + ix, ny * nx)
+
+    _overlapped(
+        _prefetched(
+            partial(_walk_inputs, iy, ix, ys, xs, halo0)
+            for iy, ix, ys, xs in tile_windows()
+        ),
+        _dispatch_walk,
+        _finish_walk,
+    )
 
     for k in spill:
         arr = spill[k]

@@ -235,6 +235,30 @@ def main():
     }
     with open(os.path.join(REPO, "CONFIG5_1E9.json"), "w") as fh:
         json.dump(result, fh, indent=1)
+
+    # Fold the headline into BENCH_CONFIGS.json as the config5 entry.
+    bc_path = os.path.join(REPO, "BENCH_CONFIGS.json")
+    try:
+        with open(bc_path) as fh:
+            bc = json.load(fh)
+    except FileNotFoundError:
+        bc = {}
+    bc[f"config5_out_of_core_{args.n}"] = {
+        "cells": cells,
+        "seconds": round(wall, 1),
+        "grid_points_per_s": round(cells / wall, 1),
+        "rev": result["rev"],
+        "ok": checks["ok"],
+        "note": (
+            "full suite + streaming classification, windowed loaders, "
+            "disk memmap outputs, single chip over the axon relay "
+            "(throughput is relay-transfer-bound, not TPU-bound: see "
+            "CONFIG5_1E9.json phase_seconds)"
+        ),
+    }
+    with open(bc_path, "w") as fh:
+        json.dump(bc, fh, indent=1)
+
     print(json.dumps(result))
     print("CONFIG5", "OK" if checks["ok"] else "FAIL")
     return 0 if checks["ok"] else 1
