@@ -334,6 +334,33 @@ def sharded_downslope(
     return crop_from_mesh(out, shape) if crop else out
 
 
+@partial(jax.jit, static_argnames=("px", "n_topo", "n_gfi", "b_gfi"))
+def _pointwise_program(dem_s, fac_s, slope, hand, river_fac,
+                       px, n_topo, n_gfi, b_gfi):
+    """All pointwise descriptors in ONE compiled program (XLA partitions
+    elementwise ops over the sharded operands with no data movement).
+    Op-by-op eager dispatch here was the worst-scaling phase of the suite
+    on oversubscribed virtual meshes — ~20 dispatches x N devices per call
+    for work that fuses into a single kernel."""
+    from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
+    from descriptools_tpu.ops.topo import (
+        modified_topographic_index,
+        topographic_index,
+    )
+
+    dem_j = jnp.asarray(dem_s, jnp.float32)
+    sl_rad = jnp.where(
+        dem_j == NODATA, jnp.float32(NODATA), jnp.arctan(slope / 100.0)
+    )
+    return dict(
+        slope_rad=sl_rad,
+        twi=topographic_index(fac_s, sl_rad, px),
+        mod_twi=modified_topographic_index(fac_s, sl_rad, px, n_topo),
+        gfi=_gfi(hand, river_fac, n_gfi, b_gfi, px),
+        ln_hl_h=_ln_hl_h(hand, fac_s, n_gfi, b_gfi, px),
+    )
+
+
 def sharded_suite(
     dem, fdr, fac, river, cfg, mesh,
     downslope_halo=64, shape=None, fac0=None, crop=True, stage_hook=None,
@@ -350,12 +377,6 @@ def sharded_suite(
     'downslope', 'pointwise'; compute() -> dict of padded staged arrays) —
     parallel/ckpt.stage_hook uses it for shard-aware checkpoint/resume.
     """
-    from descriptools_tpu.ops.topo import (
-        modified_topographic_index,
-        topographic_index,
-    )
-    from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
-
     shape = _resolve_shape(dem, mesh, shape)
     dem_s = _staged(dem, mesh, NODATA)
     fdr_s = _staged(fdr, mesh, 0)
@@ -387,21 +408,9 @@ def sharded_suite(
     }))
 
     def _pointwise():
-        dem_j = jnp.asarray(dem_s, jnp.float32)
-        sl_rad = jnp.where(
-            dem_j == NODATA, jnp.float32(NODATA),
-            jnp.arctan(out["slope"] / 100.0),
-        )
-        return dict(
-            slope_rad=sl_rad,
-            twi=topographic_index(fac_s, sl_rad, cfg.px),
-            mod_twi=modified_topographic_index(
-                fac_s, sl_rad, cfg.px, cfg.n_topo
-            ),
-            gfi=_gfi(out["hand"], out["river_fac"], cfg.n_gfi, cfg.b_gfi,
-                     cfg.px),
-            ln_hl_h=_ln_hl_h(out["hand"], fac_s, cfg.n_gfi, cfg.b_gfi,
-                             cfg.px),
+        return _pointwise_program(
+            dem_s, fac_s, out["slope"], out["hand"], out["river_fac"],
+            cfg.px, cfg.n_topo, cfg.n_gfi, cfg.b_gfi,
         )
 
     out.update(hook("pointwise", _pointwise))
