@@ -239,6 +239,17 @@ def main():
             "(collectives, padding, boundary graph), not ICI scaling; "
             "efficiency is capped at host_cores/devices here"
         ),
+        "attribution": (
+            "phases[*].vs_null_baseline reads each phase's weak-scaling "
+            "efficiency relative to a ZERO-collective shard_map doing pure "
+            "elementwise sweeps on the same decomposition: vs_null ~ 1.0 "
+            "means the phase loses nothing to decomposition or "
+            "communication beyond what ANY shard_map pays on this "
+            "oversubscribed 2-core host (scheduling + barrier stragglers). "
+            "decomposition_overhead_vs_single_device is the direct cost "
+            "statement: the sharded program on N virtual devices vs the "
+            "SAME global grid on one device."
+        ),
         "weak_scaling": results,
     }
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
