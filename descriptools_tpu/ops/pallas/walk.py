@@ -45,6 +45,13 @@ H_SWEEPS = 64
 
 _OFF = float(1 << 20)  # terminal-elevation offset (ops/downslope.py)
 _HALF = float(1 << 19)
+# Truncation-tracking offset encoding (shared with walk_vmem): ordinary
+# terminals encode as z - _OFF, TRUNCATED terminals (ops.downslope.trunc_cells
+# — the local block ran out of data mid-walk) as z - _OFF2.  The flag rides
+# the already-pulled Zt raster; no extra pull.  Exact for integer elevations
+# (f32 ulp at 2^21 is 0.25, and z - 2^21 is an integer < 2^24).
+_OFF2 = float(1 << 21)
+_T3 = float(3 << 19)  # -1.5*_OFF: below = truncated terminal encoding
 # Flow: unresolved sentinel code.  Codes are int32 (+idx river / -idx-1 NaN
 # absorber), exact at any grid size < 2^31 cells — f32 codes would round
 # above 2^24.  INT32_MIN never collides with -idx-1 for idx < 2^31-1.
@@ -105,9 +112,15 @@ def _window_dma(refs, scratches, sems, by, bx, wh, ww):
 
 
 def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
-                      thresh_ref, resd_in, resz_in,
-                      d_out, zt_out, resd_out, resz_out,
-                      w_fdr, w_stepd, w_d, w_zt, sems, *, h, max_steps):
+                      thresh_ref, resd_in, resz_in, *rest,
+                      h, max_steps, track=False):
+    if track:
+        (rest_in, d_out, zt_out, resd_out, resz_out, rest_out,
+         w_fdr, w_stepd, w_d, w_zt, sems) = rest
+    else:
+        rest_in = rest_out = None
+        (d_out, zt_out, resd_out, resz_out,
+         w_fdr, w_stepd, w_d, w_zt, sems) = rest
     by = pl.program_id(0)
     bx = pl.program_id(1)
     wh, ww = BH + 2 * h, BW + 2 * h
@@ -129,7 +142,7 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
         t0 = t_ref[0, 0]
 
         def sweep(k, carry):
-            D, Zt, res_d, res_z = carry
+            D, Zt, res_d, res_z, res_t = carry
             gate = (t0 + k) < max_steps
             pD = _pull(masks, D)
             pZt = _pull(masks, Zt)
@@ -139,17 +152,31 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
             Zt_i = Zt[h : h + BH, h : h + BW]
             hit = gate & (res_d == 0.0) & (Zt_i <= thresh)
             z_at = jnp.where(Zt_i < -_HALF, Zt_i + _OFF, Zt_i)
+            if track:
+                # Decode the double terminal offset (truncated terminal)
+                # and flag first-hit stops that landed on one; threshold
+                # stops (Zt un-offset) are exact.
+                z_at = jnp.where(
+                    Zt_i < jnp.float32(-_T3), Zt_i + jnp.float32(_OFF2), z_at
+                )
+                res_t = jnp.where(
+                    hit & (Zt_i < jnp.float32(-_T3)), jnp.int32(1), res_t
+                )
             res_d = jnp.where(hit, D_i, res_d)
             res_z = jnp.where(hit, z_at, res_z)
-            return (D, Zt, res_d, res_z)
+            return (D, Zt, res_d, res_z, res_t)
 
-        D, Zt, res_d, res_z = jax.lax.fori_loop(
-            0, h, sweep, (w_d[:, :], w_zt[:, :], resd_in[:, :], resz_in[:, :])
+        rt0 = rest_in[:, :] if track else jnp.int32(0)
+        D, Zt, res_d, res_z, res_t = jax.lax.fori_loop(
+            0, h, sweep,
+            (w_d[:, :], w_zt[:, :], resd_in[:, :], resz_in[:, :], rt0),
         )
         d_out[:, :] = D[h : h + BH, h : h + BW]
         zt_out[:, :] = Zt[h : h + BH, h : h + BW]
         resd_out[:, :] = res_d
         resz_out[:, :] = res_z
+        if track:
+            rest_out[:, :] = res_t
 
     @pl.when(~active)
     def _():
@@ -157,6 +184,8 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
                       sems, by, bx, h)
         resd_out[:, :] = resd_in[:, :]
         resz_out[:, :] = resz_in[:, :]
+        if track:
+            rest_out[:, :] = rest_in[:, :]
 
 
 def _interior_spec():
@@ -165,14 +194,25 @@ def _interior_spec():
 
 @functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
 def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
-                      h, max_steps, interpret=False):
-    """One pallas call = h sweeps.  Padded window inputs, interior outputs."""
+                      h, max_steps, interpret=False, res_t=None):
+    """One pallas call = h sweeps.  Padded window inputs, interior outputs.
+
+    With ``res_t`` (int32 truncation flags) the tracked kernel variant runs
+    and a fifth (rp, cp) output carries the updated flags."""
+    track = res_t is not None
     rp, cp = thresh.shape
     grid = (rp // BH, cp // BW)
     win = (BH + 2 * h, BW + 2 * h)
-    out_shape = [jax.ShapeDtypeStruct((rp, cp), jnp.float32)] * 4
+    vma = jax.typeof(thresh).vma  # shard_map callers: outputs inherit axes
+    out_shape = [jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma)] * 4
+    inputs = [t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z]
+    if track:
+        inputs.append(res_t)
+        out_shape.append(jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma))
     return pl.pallas_call(
-        functools.partial(_downslope_kernel, h=h, max_steps=max_steps),
+        functools.partial(
+            _downslope_kernel, h=h, max_steps=max_steps, track=track
+        ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
@@ -184,8 +224,8 @@ def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
             _interior_spec(),
             _interior_spec(),
             _interior_spec(),
-        ],
-        out_specs=[_interior_spec()] * 4,
+        ] + ([_interior_spec()] if track else []),
+        out_specs=[_interior_spec()] * (5 if track else 4),
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM(win, jnp.int32),
@@ -198,7 +238,7 @@ def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z)
+    )(*inputs)
 
 
 def _pad_block(arr, h, rp, cp, fill):
@@ -220,24 +260,47 @@ def _block_dims(rows, cols):
     static_argnames=("px", "elevation_difference", "max_steps", "h", "interpret"),
 )
 def downslope_pallas(dem, fdr, px, elevation_difference,
-                     max_steps=5000, h=H_SWEEPS, interpret=False):
+                     max_steps=5000, h=H_SWEEPS, interpret=False, trunc0=None):
     """Downslope index via the multi-sweep walk kernel.
 
     Bit-identical to ops.downslope._downslope_jacobi (same pull order, same
     f32 accumulation order, same cap semantics — downslope.py:434-532 spec).
+
+    With ``trunc0`` (per-cell bool from ops.downslope.trunc_cells) also
+    returns an int32->bool raster flagging cells whose stop landed on a
+    truncated terminal — the sharded/tiled halo-doubling retry signal,
+    threaded through the walk as a double terminal offset on Zt (the same
+    ``_OFF2`` encoding as walk_vmem; no extra pulled raster).  This is the
+    >VMEM tier's trunc tracking, so config-5-sized (8192^2+) blocks keep the
+    Pallas engine instead of falling back to the XLA jacobi.
     """
     from descriptools_tpu.d8 import pull8
     from descriptools_tpu.ops.downslope import _terminal_and_step
 
+    track = trunc0 is not None
     rows, cols = dem.shape
     z, terminal, stepd = _terminal_and_step(dem, fdr, px, NODATA)
     thresh0 = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
-    zt0 = jnp.where(terminal, z - _OFF, z)
+    if track:
+        trunc_t = terminal & jnp.asarray(trunc0, jnp.bool_)
+        zt0 = jnp.where(
+            terminal,
+            jnp.where(trunc_t, z - jnp.float32(_OFF2), z - _OFF),
+            z,
+        )
+    else:
+        zt0 = jnp.where(terminal, z - _OFF, z)
     # Monotone-descent probe selecting the aggressive block-skip rule
     # (see walk_vmem.downslope_pallas_vmem).
     (z_succ,) = pull8(fdr_eff, [z], [0.0])
     mono = jnp.all(z_succ <= z)
+
+    def _decode(Zt):
+        base = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+        if not track:
+            return base
+        return jnp.where(Zt < jnp.float32(-_T3), Zt + jnp.float32(_OFF2), base)
 
     rp, cp = _block_dims(rows, cols)
     nby, nbx = rp // BH, cp // BW
@@ -251,6 +314,13 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     zt = _pad_block(zt0, h, rp, cp, -_OFF)[h:-h, h:-h]
     res_d = jnp.zeros((rp, cp), jnp.float32)
     res_z = _pad_block(z, h, rp, cp, 0.0)[h:-h, h:-h]
+    if track:
+        # Stopped-at-start cells carry their own flag (jacobi's res_t0).
+        res_t = _pad_block(
+            trunc_t.astype(jnp.int32), h, rp, cp, 0
+        )[h:-h, h:-h]
+    else:
+        res_t = None
 
     def _blk(mask2d):
         return jnp.sum(
@@ -258,35 +328,46 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
         )
 
     def cond(carry):
-        res_d, _rz, _d, _zt, t = carry
+        res_d, _rz, _rt, _d, _zt, t = carry
         return jnp.any((res_d == 0.0) & live0) & (t < max_steps)
 
     def body(carry):
-        res_d, res_z, D, Zt, t = carry
+        res_d, res_z, res_t, D, Zt, t = carry
         flags = jnp.where(
             mono, _blk((res_d == 0.0) & live0), _blk(Zt >= -_HALF)
         )
         d_p = jnp.pad(D, h)
         zt_p = jnp.pad(Zt, h)
-        D, Zt, res_d, res_z = _downslope_sweeps(
+        out = _downslope_sweeps(
             jnp.full((1, 1), t, jnp.int32), flags, fdr_p, stepd_p, d_p, zt_p,
             thresh, res_d, res_z, h, max_steps, interpret=interpret,
+            res_t=res_t,
         )
-        return (res_d, res_z, D, Zt, t + h)
+        if track:
+            D, Zt, res_d, res_z, res_t = out
+        else:
+            D, Zt, res_d, res_z = out
+        return (res_d, res_z, res_t, D, Zt, t + h)
 
-    res_d, res_z, D, Zt, _t = jax.lax.while_loop(
-        cond, body, (res_d, res_z, d0, zt, jnp.array(0, jnp.int32))
+    res_d, res_z, res_t, D, Zt, _t = jax.lax.while_loop(
+        cond, body,
+        (res_d, res_z, res_t, d0, zt, jnp.array(0, jnp.int32)),
     )
 
     # Cap: unstopped cells take the partial at the horizon (downslope.py:303).
+    # Cap stops are never truncation-flagged (jacobi's ``res_t & stopped``).
     unstopped = (res_d == 0.0) & live0
     res_d = jnp.where(unstopped, D, res_d)
-    res_z = jnp.where(unstopped, jnp.where(Zt < -_HALF, Zt + _OFF, Zt), res_z)
+    res_z = jnp.where(unstopped, _decode(Zt), res_z)
 
     res_d = res_d[:rows, :cols]
     res_z = res_z[:rows, :cols]
     out = jnp.where(res_d == 0.0, 0.0, (z - res_z) / res_d)
-    return jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
+    out = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
+    if track:
+        trc = jnp.where(unstopped, 0, res_t)[:rows, :cols]
+        return out, trc.astype(jnp.bool_)
+    return out
 
 
 # ---------------------------------------------------------------------------

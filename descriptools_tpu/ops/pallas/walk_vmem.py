@@ -52,7 +52,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from descriptools_tpu.constants import D8_CODES, D8_DX, D8_DY, D8_STEP, NODATA
-from descriptools_tpu.ops.pallas.walk import _OFF, _HALF, UNRES, _roll
+from descriptools_tpu.ops.pallas.walk import (
+    _OFF,
+    _OFF2,
+    _HALF,
+    _T3,
+    UNRES,
+    _roll,
+)
 
 # Sweeps per convergence check (a full-grid reduction ~ one sweep's cost,
 # so checking every CHECK sweeps keeps the overhead ~1/CHECK).
@@ -69,13 +76,9 @@ VMEM_BYTES = 128 * 1024 * 1024
 # fits_vmem covers band temporaries.
 _STATE_RASTERS = {"downslope": 5, "downslope_track": 8, "walk3": 4}
 
-# Truncation-tracking offset encoding (sharded trunc-retry support): ordinary
-# terminals encode as z - _OFF, TRUNCATED terminals (ops.downslope.trunc_cells
-# — the local block ran out of data mid-walk) as z - 2*_OFF.  The flag thus
-# rides the already-pulled Zt raster; no extra pull.  Exact for integer
-# elevations (f32 ulp at 2^21 is 0.25, and z - 2^21 is an integer < 2^24).
-_OFF2 = float(1 << 21)
-_T3 = float(3 << 19)  # -1.5*_OFF: below = truncated terminal encoding
+# Truncation-tracking offset encoding (_OFF2/_T3, shared with the blocked
+# tier): see ops/pallas/walk.py — ordinary terminals encode as z - _OFF,
+# truncated terminals as z - _OFF2, the flag riding the pulled Zt raster.
 
 
 def fits_vmem(rows, cols, kind="downslope"):

