@@ -143,11 +143,31 @@ def _blocked_tier_parity(cfg):
         max_steps=cfg.downslope_max_steps))
     t_xla = time.time() - t0
 
+    # Tracked (trunc0) blocked tier — the config-5 / sharded >VMEM path:
+    # treat the grid as a window of a wider virtual grid so the east edge
+    # truncates, and compare result AND flags vs the tracked jacobi.
+    from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
+
+    tr0 = trunc_cells(dem_f, fdr, 0, 0, n, 2 * n)
+    dn_pt, tr_pt = map(np.asarray, downslope_pallas(
+        dem_f, fdr, cfg.px, cfg.elevation_difference,
+        max_steps=cfg.downslope_max_steps, trunc0=tr0))
+    dn_xt, tr_xt = map(np.asarray, _downslope_jacobi(
+        dem_f, fdr, cfg.px, cfg.elevation_difference,
+        cfg.downslope_max_steps, trunc0=tr0))
+
     fdist_max_rel, fdist_mask_differs = _fdist_cmp(fd_p, fd_x)
     return {
         "grid": [n, n],
         "indices_cells_differing_vs_xla_engine": int((idx_p != idx_x).sum()),
         "downslope_cells_differing_vs_xla_engine": int((dn_p != dn_x).sum()),
+        "tracked_downslope_cells_differing_vs_xla_engine": int(
+            (dn_pt != dn_xt).sum()
+        ),
+        "tracked_trunc_flags_differing_vs_xla_engine": int(
+            (tr_pt != tr_xt).sum()
+        ),
+        "tracked_trunc_flagged_cells": int(tr_pt.sum()),
         "fdist_max_rel_vs_xla_engine": fdist_max_rel,
         "fdist_nodata_set_differs": fdist_mask_differs,
         "wall_s_blocked_first_run": round(t_blk, 2),
@@ -242,6 +262,8 @@ def main():
         and basin["fdist_max_rel_vs_xla_engine"] < 2e-4
         and blocked["indices_cells_differing_vs_xla_engine"] == 0
         and blocked["downslope_cells_differing_vs_xla_engine"] == 0
+        and blocked["tracked_downslope_cells_differing_vs_xla_engine"] == 0
+        and blocked["tracked_trunc_flags_differing_vs_xla_engine"] == 0
         and blocked["fdist_nodata_set_differs"] == 0
         and blocked["fdist_max_rel_vs_xla_engine"] < 2e-4
         and sharded1["downslope_cells_differing_vs_xla_engine"] == 0
