@@ -101,9 +101,21 @@ def main():
         note="full coarse-to-fine search, ~100 thresholds over 3.3M cells",
     )
 
+    from descriptools_tpu.utils import provenance
+
+    results["rev"] = provenance.git_rev(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    # Merge: keep entries other writers own (config5_1e9.py's config5 keys).
+    try:
+        with open(OUT) as fh:
+            merged = json.load(fh)
+    except FileNotFoundError:
+        merged = {}
+    merged.update(results)
     with open(OUT, "w") as fh:
-        json.dump(results, fh, indent=1)
-    print(json.dumps(results))
+        json.dump(merged, fh, indent=1)
+    print(json.dumps(merged))
 
 
 if __name__ == "__main__":
