@@ -74,7 +74,8 @@ VMEM_BYTES = 128 * 1024 * 1024
 # on-chip: the 6-input/2-output tracked kernel used 161 MB on the basin,
 # not 121 MB), so track mode budgets 6 inputs + 2 outputs = 8; the +2 in
 # fits_vmem covers band temporaries.
-_STATE_RASTERS = {"downslope": 5, "downslope_track": 8, "walk3": 4}
+_STATE_RASTERS = {"downslope": 5, "downslope_track": 8, "walk3": 4,
+                  "walk2": 3}
 
 # Truncation-tracking offset encoding (_OFF2/_T3, shared with the blocked
 # tier): see ops/pallas/walk.py — ordinary terminals encode as z - _OFF,
@@ -200,7 +201,141 @@ def _band_ext(ref, start, below, saved, band):
 
 # ---------------------------------------------------------------------------
 # Flow: walk to the nearest river / NaN absorber.
+#
+# The in-core flow rides the 2-raster PACKED kernel: the per-cell cardinal
+# and diagonal step counts (a, b) share one int32 (a bits 0-15, b 16-31),
+# so a Gauss-Seidel visit streams (fdr, code, packed) instead of walk3's
+# (fdr, code, dist, steps) — ~30 % less VMEM band traffic, the sweeps'
+# bound.  Exactness:
+#   - indices: the hit/copy logic is identical to walk3 -> bitwise.
+#   - cap:     steps = a + b exactly (ints), same landed rule.
+#   - fdist:   a*f32(px) + b*f32(sqrt2*px) — within ~1 ulp of the float64
+#     path distance, while the serial-sum engines carry O(sqrt(L)) ulps;
+#     fdist was already engine-dependent "up to f32 summation order".
+#   - overflow: a resolved chain with >= 2^15 cardinal (or diagonal) steps
+#     would carry a-field bits into b.  Along any resolving path the count
+#     increments by 0/1 per cell and every suffix is some cell's FINAL
+#     frozen value, so if any count reaches 2^15 some cell holds EXACTLY
+#     2^15 -> guard bit 15 (or 31) is set in the final state.  One any()
+#     detects it and a lax.cond re-runs the 3-raster walk3 path (compiled
+#     alongside; executed only on such pathological >32767-step chains).
 # ---------------------------------------------------------------------------
+
+
+def _walk2_kernel(fdr_ref, code_ref, pk_ref, code_out, pk_out, flag_ref,
+                  *, max_steps, nbands, band):
+    # int32 packed step increments in D8_CODES order: cardinal -> a += 1,
+    # diagonal -> b += 1 (bit 16).
+    incs = [
+        jnp.int32(1 if float(s) == 1.0 else 1 << 16) for s in D8_STEP
+    ]
+
+    def init_flag(b, c):
+        _base, start, _below = _starts(b, band)
+        flag_ref[b] = jnp.sum(
+            (code_ref[pl.ds(start, band), :] == UNRES).astype(jnp.int32)
+        )
+        return c
+
+    jax.lax.fori_loop(0, nbands, init_flag, 0)
+
+    # Same Gauss-Seidel band schedule + exactness argument as _walk3_kernel.
+    def visit(v, t0):
+        down = (t0 // PAD) % 2 == 0
+
+        def band_body(i, c):
+            b = jnp.where(down, i, nbands - 1 - i)
+            base, start, _below = _starts(b, band)
+
+            @pl.when(flag_ref[b] > 0)
+            def _():
+                fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
+                masks = _visit_masks(fdr_ext, edge_guard=True)
+                code_ext = code_ref[pl.ds(base, band + 2 * PAD), :]
+                pk_ext = pk_ref[pl.ds(base, band + 2 * PAD), :]
+
+                def sweep_k(k, st):
+                    code_w, pk_w = st
+                    p_code = _pull_sel(masks, code_w)
+                    cand_pk = _pull_add(masks, pk_w, incs)
+                    hit = (code_w == UNRES) & (p_code != UNRES)
+                    return (
+                        jnp.where(hit, p_code, code_w),
+                        jnp.where(hit, cand_pk, pk_w),
+                    )
+
+                def chunk(st):
+                    code_w, pk_w, _prev, cur = st
+                    code_w, pk_w = jax.lax.fori_loop(
+                        0, PAD, sweep_k, (code_w, pk_w)
+                    )
+                    ncur = jnp.sum(
+                        (code_w[PAD : PAD + band] == UNRES).astype(jnp.int32)
+                    )
+                    return (code_w, pk_w, cur, ncur)
+
+                def still_progressing(st):
+                    *_, prev, cur = st
+                    return cur < prev
+
+                code_ext, pk_ext, _, ncur = jax.lax.while_loop(
+                    still_progressing,
+                    chunk,
+                    (code_ext, pk_ext, jnp.int32(2**31 - 1), flag_ref[b]),
+                )
+                code_ref[pl.ds(start, band), :] = code_ext[PAD : PAD + band]
+                pk_ref[pl.ds(start, band), :] = pk_ext[PAD : PAD + band]
+                flag_ref[b] = ncur
+
+            return c
+
+        jax.lax.fori_loop(0, nbands, band_body, 0)
+        return t0 + PAD
+
+    def cond(carry):
+        newly, t = carry
+        return (newly > 0) & (t < max_steps)
+
+    def body(carry):
+        _newly, t = carry
+        before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        t = jax.lax.fori_loop(0, CHECK // PAD, visit, t)
+        after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        return (before - after, t)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
+    code_out[:, :] = code_ref[:, :]
+    pk_out[:, :] = pk_ref[:, :]
+
+
+def _packed_flow_walk(fdr_eff, code0, max_steps, interpret):
+    """(code, packed_counts) via the 2-raster GS kernel (see section note)."""
+    rows, cols = fdr_eff.shape
+    rp, cp = _align(rows, cols, FLOW_BAND)
+    fdr_p = _pad(jnp.asarray(fdr_eff, jnp.int32), rp, cp, 0)
+    code_p = _pad(jnp.asarray(code0, jnp.int32), rp, cp, -1)  # pad: inert
+    pk_p = code_p * 0
+
+    vma = jax.typeof(code_p).vma
+    code, pk = pl.pallas_call(
+        functools.partial(
+            _walk2_kernel, max_steps=max_steps,
+            nbands=rp // FLOW_BAND, band=FLOW_BAND,
+        ),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct(code_p.shape, jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct(code_p.shape, jnp.int32, vma=vma),
+        ],
+        input_output_aliases={1: 0, 2: 1},
+        scratch_shapes=[pltpu.SMEM((rp // FLOW_BAND,), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
+        interpret=interpret,
+    )(fdr_p, code_p, pk_p)
+
+    sl = np.s_[PAD : PAD + rows, :cols]
+    return code[sl], pk[sl]
 
 
 @functools.partial(jax.jit, static_argnames=("px", "max_steps", "interpret"))
@@ -209,13 +344,13 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 
     ``indices`` (and every integer truth-table output) is bit-identical to
     ops.pallas.walk.flow_pallas / the XLA hybrid engine (flowhand.py:565-846
-    truth table).  ``fdist`` matches only up to f32 summation order: the
-    hybrid engine's phase-2 doubling associates the distance sum differently
-    on the compaction residue (~378k basin cells differ in the last ulps;
-    ops/flow.py module docstring).  Runs on the Gauss-Seidel walk3
-    kernel: the extra steps raster it carries is what makes the reference's
-    path-length cap exact under out-of-order resolution (same rule as
-    ops/flow.py _flow_doubling: landed iff steps <= max_steps).
+    truth table).  ``fdist`` matches up to f32 summation order — here it is
+    reconstructed from exact integer step counts (see the packed-kernel
+    section note), which lands *closer* to the float64 distance than the
+    serial-sum engines.  The reference's path-length cap stays exact
+    (steps = a + b, integers; landed iff steps <= max_steps, the same rule
+    as ops/flow.py _flow_doubling); chains that could overflow the packed
+    16-bit counts are detected via guard bits and re-run on the walk3 tier.
     """
     from descriptools_tpu.ops.flow import flow_states
 
@@ -235,13 +370,36 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
     )
     fdr_eff = jnp.where(absorbing2d, 0, jnp.asarray(fdr)).astype(jnp.int32)
 
-    code, dist, _steps = absorbing_walk_pallas_vmem(
-        fdr_eff, code0, px, max_steps=max_steps, interpret=interpret
-    )
-    landed = code >= 0  # over-cap cells were reset to UNRES (< 0)
-    fdist = jnp.where(landed, dist, jnp.float32(NODATA))
-    indices = jnp.where(landed, code, jnp.int32(NODATA))
-    return fdist, indices
+    code, pk = _packed_flow_walk(fdr_eff, code0, max_steps, interpret)
+    pku = jax.lax.bitcast_convert_type(pk, jnp.uint32)
+    a = (pku & jnp.uint32(0xFFFF)).astype(jnp.int32)
+    b = (pku >> jnp.uint32(16)).astype(jnp.int32)
+    overflow = jnp.any((a >= (1 << 15)) | (b >= (1 << 15)))
+
+    c_card = jnp.float32(np.float32(D8_STEP[0]) * np.float32(px))
+    c_diag = jnp.float32(np.float32(D8_STEP[1]) * np.float32(px))
+
+    def from_packed(_):
+        steps = a + b
+        landed = (code >= 0) & (steps <= max_steps)
+        fdist = jnp.where(
+            landed,
+            a.astype(jnp.float32) * c_card + b.astype(jnp.float32) * c_diag,
+            jnp.float32(NODATA),
+        )
+        indices = jnp.where(landed, code, jnp.int32(NODATA))
+        return fdist, indices
+
+    def from_walk3(_):
+        code3, dist3, _steps = absorbing_walk_pallas_vmem(
+            fdr_eff, code0, px, max_steps=max_steps, interpret=interpret
+        )
+        landed = code3 >= 0  # over-cap cells were reset to UNRES (< 0)
+        fdist = jnp.where(landed, dist3, jnp.float32(NODATA))
+        indices = jnp.where(landed, code3, jnp.int32(NODATA))
+        return fdist, indices
+
+    return jax.lax.cond(overflow, from_walk3, from_packed, None)
 
 
 # ---------------------------------------------------------------------------

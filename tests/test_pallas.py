@@ -170,3 +170,56 @@ def test_downslope_vmem_trunc_tracking_matches_jacobi():
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
         np.testing.assert_array_equal(np.asarray(gtr), np.asarray(wtr))
         assert np.asarray(gtr).any()  # the flat walk really is truncated
+
+
+def test_flow_packed_overflow_guard_falls_back():
+    """A serpentine path longer than 2^15 steps must trip the packed
+    kernel's guard bits (some frozen cell holds exactly 2^15 cardinal
+    steps) and fall back to the walk3 tier — results still match the XLA
+    hybrid engine bitwise on indices."""
+    import jax.numpy as jnp
+
+    from descriptools_tpu.ops.flow import flow_distance_index
+    from descriptools_tpu.ops.pallas.walk_vmem import flow_pallas_vmem
+
+    rows, cols = 200, 200  # boustrophedon path of ~40000 > 2^15 steps
+    fdr = np.zeros((rows, cols), np.uint8)
+    for r in range(rows):
+        fdr[r, :] = 1 if r % 2 == 0 else 16  # E on even rows, W on odd
+        if r % 2 == 0:
+            fdr[r, -1] = 4  # S connector at the east end
+        else:
+            fdr[r, 0] = 4  # S connector at the west end
+    river = np.zeros((rows, cols), np.int8)
+    river[-1, 0] = 1  # the path's terminus
+    fdr_j, river_j = jnp.asarray(fdr), jnp.asarray(river)
+
+    fd, idx = flow_pallas_vmem(fdr_j, river_j, 12.5, max_steps=60000,
+                               interpret=True)
+    wfd, widx = flow_distance_index(fdr_j, river_j, 12.5, max_steps=60000)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+    # The far end really is > 2^15 steps from the river (guard regime).
+    assert rows * cols - rows > (1 << 15)
+    np.testing.assert_allclose(np.asarray(fd), np.asarray(wfd),
+                               rtol=1e-5, atol=1e-2)
+
+
+def test_flow_packed_matches_hybrid_distances_closely():
+    """Packed-count fdist reconstruction must stay within f32-summation
+    slack of the hybrid engine on real terrain (the parity-gate bound)."""
+    import jax.numpy as jnp
+
+    from descriptools_tpu.ops.flow import flow_distance_index
+    from descriptools_tpu.ops.pallas.walk_vmem import flow_pallas_vmem
+
+    dem, fdr, river, _ = synthetic_basin(120, 160, seed=23)
+    fd, idx = flow_pallas_vmem(jnp.asarray(fdr), jnp.asarray(river), PX,
+                               max_steps=2000, interpret=True)
+    wfd, widx = flow_distance_index(jnp.asarray(fdr), jnp.asarray(river),
+                                    PX, max_steps=2000)
+    np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+    fd, wfd = np.asarray(fd, np.float64), np.asarray(wfd, np.float64)
+    v = (fd != NODATA) & (wfd != NODATA)
+    assert np.array_equal(fd != NODATA, wfd != NODATA)
+    rel = np.abs(fd[v] - wfd[v]) / np.maximum(np.abs(wfd[v]), 1.0)
+    assert rel.max() < 2e-4  # the PARITY_TPU gate bound
