@@ -111,23 +111,16 @@ def _window_dma(refs, scratches, sems, by, bx, wh, ww):
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
+def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
                       thresh_ref, resd_in, resz_in, *rest,
-                      px, h, max_steps, track=False):
-    # The D window carries PACKED step counts (int32; see
-    # ops.downslope.unpack_dist): the per-cell increment derives from the
-    # fdr window (diagonal codes -> 1<<16), so the stepd raster — and its
-    # window DMA — is gone; res_d stores the reconstructed f32 distance at
-    # the stop, identical expression across engines (bitwise).
-    from descriptools_tpu.ops.downslope import _INC_DIAG, unpack_dist
-
+                      h, max_steps, track=False):
     if track:
         (rest_in, d_out, zt_out, resd_out, resz_out, rest_out,
-         w_fdr, w_d, w_zt, sems) = rest
+         w_fdr, w_stepd, w_d, w_zt, sems) = rest
     else:
         rest_in = rest_out = None
         (d_out, zt_out, resd_out, resz_out,
-         w_fdr, w_d, w_zt, sems) = rest
+         w_fdr, w_stepd, w_d, w_zt, sems) = rest
     by = pl.program_id(0)
     bx = pl.program_id(1)
     wh, ww = BH + 2 * h, BW + 2 * h
@@ -139,15 +132,12 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
 
     @pl.when(active)
     def _():
-        _window_dma([fdr_hbm, d_hbm, zt_hbm],
-                    [w_fdr, w_d, w_zt], sems, by, bx, wh, ww)
+        _window_dma([fdr_hbm, stepd_hbm, d_hbm, zt_hbm],
+                    [w_fdr, w_stepd, w_d, w_zt], sems, by, bx, wh, ww)
 
         fdr_w = w_fdr[:, :]
         masks = [fdr_w == code for code in D8_CODES]
-        diag = (fdr_w == 2) | (fdr_w == 8) | (fdr_w == 32) | (fdr_w == 128)
-        inc_w = jnp.where(
-            fdr_w == 0, 0, jnp.where(diag, jnp.int32(_INC_DIAG), jnp.int32(1))
-        )
+        stepd_w = w_stepd[:, :]
         thresh = thresh_ref[:, :]
         t0 = t_ref[0, 0]
 
@@ -156,7 +146,7 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
             gate = (t0 + k) < max_steps
             pD = _pull(masks, D)
             pZt = _pull(masks, Zt)
-            D = jnp.where(gate, inc_w + pD, D)
+            D = jnp.where(gate, stepd_w + pD, D)
             Zt = jnp.where(gate, pZt, Zt)
             D_i = D[h : h + BH, h : h + BW]
             Zt_i = Zt[h : h + BH, h : h + BW]
@@ -172,7 +162,7 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
                 res_t = jnp.where(
                     hit & (Zt_i < jnp.float32(-_T3)), jnp.int32(1), res_t
                 )
-            res_d = jnp.where(hit, unpack_dist(D_i, px), res_d)
+            res_d = jnp.where(hit, D_i, res_d)
             res_z = jnp.where(hit, z_at, res_z)
             return (D, Zt, res_d, res_z, res_t)
 
@@ -202,11 +192,10 @@ def _interior_spec():
     return pl.BlockSpec((BH, BW), lambda by, bx: (by, bx), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("px", "h", "max_steps", "interpret"))
-def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
-                      px, h, max_steps, interpret=False, res_t=None):
+@functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
+def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
+                      h, max_steps, interpret=False, res_t=None):
     """One pallas call = h sweeps.  Padded window inputs, interior outputs.
-    ``d_p`` carries int32 packed step counts (ops.downslope.unpack_dist).
 
     With ``res_t`` (int32 truncation flags) the tracked kernel variant runs
     and a fifth (rp, cp) output carries the updated flags."""
@@ -215,24 +204,20 @@ def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
     grid = (rp // BH, cp // BW)
     win = (BH + 2 * h, BW + 2 * h)
     vma = jax.typeof(thresh).vma  # shard_map callers: outputs inherit axes
-    out_shape = [
-        jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),  # packed D
-        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),
-        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),
-    ]
-    inputs = [t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z]
+    out_shape = [jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma)] * 4
+    inputs = [t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z]
     if track:
         inputs.append(res_t)
         out_shape.append(jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma))
     return pl.pallas_call(
         functools.partial(
-            _downslope_kernel, px=px, h=h, max_steps=max_steps, track=track
+            _downslope_kernel, h=h, max_steps=max_steps, track=track
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole flags array
+            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -244,9 +229,10 @@ def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM(win, jnp.int32),
-            pltpu.VMEM(win, jnp.int32),
             pltpu.VMEM(win, jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.float32),
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
@@ -289,11 +275,11 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     Pallas engine instead of falling back to the XLA jacobi.
     """
     from descriptools_tpu.d8 import pull8
-    from descriptools_tpu.ops.downslope import _terminal_and_step, unpack_dist
+    from descriptools_tpu.ops.downslope import _terminal_and_step
 
     track = trunc0 is not None
     rows, cols = dem.shape
-    z, terminal, _stepd = _terminal_and_step(dem, fdr, px, NODATA)
+    z, terminal, stepd = _terminal_and_step(dem, fdr, px, NODATA)
     thresh0 = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
     if track:
@@ -319,10 +305,11 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     rp, cp = _block_dims(rows, cols)
     nby, nbx = rp // BH, cp // BW
     fdr_p = _pad_block(fdr_eff, h, rp, cp, 0)
+    stepd_p = _pad_block(stepd, h, rp, cp, 0.0)
     thresh = _pad_block(thresh0, h, rp, cp, 0.0)[h:-h, h:-h]
     live0 = _pad_block(~terminal, h, rp, cp, False)[h:-h, h:-h]
 
-    d0 = jnp.zeros((rp, cp), jnp.int32)  # packed step counts
+    d0 = jnp.zeros((rp, cp), jnp.float32)
     # Padding saturates (terminal-encoded) so padded blocks go quiescent.
     zt = _pad_block(zt0, h, rp, cp, -_OFF)[h:-h, h:-h]
     res_d = jnp.zeros((rp, cp), jnp.float32)
@@ -352,8 +339,8 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
         d_p = jnp.pad(D, h)
         zt_p = jnp.pad(Zt, h)
         out = _downslope_sweeps(
-            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, d_p, zt_p,
-            thresh, res_d, res_z, px, h, max_steps, interpret=interpret,
+            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, stepd_p, d_p, zt_p,
+            thresh, res_d, res_z, h, max_steps, interpret=interpret,
             res_t=res_t,
         )
         if track:
@@ -370,7 +357,7 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     # Cap: unstopped cells take the partial at the horizon (downslope.py:303).
     # Cap stops are never truncation-flagged (jacobi's ``res_t & stopped``).
     unstopped = (res_d == 0.0) & live0
-    res_d = jnp.where(unstopped, unpack_dist(D, px), res_d)
+    res_d = jnp.where(unstopped, D, res_d)
     res_z = jnp.where(unstopped, _decode(Zt), res_z)
 
     res_d = res_d[:rows, :cols]

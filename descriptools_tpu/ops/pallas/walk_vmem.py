@@ -410,18 +410,12 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
                       *rest, px, elevation_difference, max_steps, nbands,
                       band, track=False):
-    # d_ref carries PACKED step counts (int32, ops.downslope.unpack_dist
-    # note): per-direction increments are the int consts below, and the f32
-    # distance is reconstructed only at the stop — one shared expression
-    # across engines, so results stay engine-independent bitwise.
-    from descriptools_tpu.ops.downslope import step_inc_consts, unpack_dist
-
     if track:
         trc_ref, res_out, trc_out, flag_ref = rest
     else:
         trc_ref = trc_out = None
         res_out, flag_ref = rest
-    consts = step_inc_consts()
+    consts = _step_consts(px)
     ed = jnp.float32(elevation_difference)
 
     def z_at_of(Zt):
@@ -491,9 +485,7 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
                     Zt = _pull_sel(masks, Zt)
                     hit = jnp.isnan(res) & (Zt <= thresh)
                     z_at = z_at_of(Zt)
-                    res = jnp.where(
-                        hit, (z_ext - z_at) / unpack_dist(D, px), res
-                    )
+                    res = jnp.where(hit, (z_ext - z_at) / D, res)
                     if track:
                         # Truncated iff the stop is a double-offset terminal;
                         # threshold stops (Zt un-offset) are exact.
@@ -535,7 +527,7 @@ def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
     z = z_ref[:, :]
     res = res_ref[:, :]
     z_at = z_at_of(Zt)
-    partial_ = jnp.where(D == 0, 0.0, (z - z_at) / unpack_dist(D, px))
+    partial_ = jnp.where(D == 0.0, 0.0, (z - z_at) / D)
     res_out[:, :] = jnp.where(jnp.isnan(res), partial_, res)
     if track:
         # Cap stops are exact (had the path reached any terminal it would
@@ -591,7 +583,7 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     # and the per-band skip flags can clear.
     zt_p = _pad(zt0, rp, cp, -_OFF)
     res_p = _pad(res0, rp, cp, 0.0)  # pad ring: resolved, never NaN
-    d_p = jnp.zeros(z_p.shape, jnp.int32)  # packed step counts
+    d_p = jnp.zeros_like(z_p)
 
     vma = jax.typeof(z_p).vma  # shard_map callers: outputs inherit mesh axes
     inputs = [mono, fdr_p, z_p, d_p, zt_p, res_p]
