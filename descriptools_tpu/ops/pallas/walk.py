@@ -111,16 +111,16 @@ def _window_dma(refs, scratches, sems, by, bx, wh, ww):
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
+def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
                       thresh_ref, resd_in, resz_in, *rest,
-                      h, max_steps, track=False):
+                      px, h, max_steps, track=False):
     if track:
         (rest_in, d_out, zt_out, resd_out, resz_out, rest_out,
-         w_fdr, w_stepd, w_d, w_zt, sems) = rest
+         w_fdr, w_d, w_zt, sems) = rest
     else:
         rest_in = rest_out = None
         (d_out, zt_out, resd_out, resz_out,
-         w_fdr, w_stepd, w_d, w_zt, sems) = rest
+         w_fdr, w_d, w_zt, sems) = rest
     by = pl.program_id(0)
     bx = pl.program_id(1)
     wh, ww = BH + 2 * h, BW + 2 * h
@@ -132,12 +132,25 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, stepd_hbm, d_hbm, zt_hbm,
 
     @pl.when(active)
     def _():
-        _window_dma([fdr_hbm, stepd_hbm, d_hbm, zt_hbm],
-                    [w_fdr, w_stepd, w_d, w_zt], sems, by, bx, wh, ww)
+        _window_dma([fdr_hbm, d_hbm, zt_hbm],
+                    [w_fdr, w_d, w_zt], sems, by, bx, wh, ww)
 
         fdr_w = w_fdr[:, :]
         masks = [fdr_w == code for code in D8_CODES]
-        stepd_w = w_stepd[:, :]
+        # stepd derived in-kernel from the fdr window instead of a fourth
+        # window DMA: the per-direction f32 lengths are constants
+        # (np.float32 products — bitwise the stepd raster's values, the
+        # same trick as walk_vmem._step_consts).
+        import numpy as _np
+
+        from descriptools_tpu.constants import D8_STEP as _STEP
+
+        c_card = jnp.float32(_np.float32(_STEP[0]) * _np.float32(px))
+        c_diag = jnp.float32(_np.float32(_STEP[1]) * _np.float32(px))
+        diag = (fdr_w == 2) | (fdr_w == 8) | (fdr_w == 32) | (fdr_w == 128)
+        stepd_w = jnp.where(
+            fdr_w == 0, jnp.float32(0.0), jnp.where(diag, c_diag, c_card)
+        )
         thresh = thresh_ref[:, :]
         t0 = t_ref[0, 0]
 
@@ -192,10 +205,11 @@ def _interior_spec():
     return pl.BlockSpec((BH, BW), lambda by, bx: (by, bx), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
-def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
-                      h, max_steps, interpret=False, res_t=None):
+@functools.partial(jax.jit, static_argnames=("px", "h", "max_steps", "interpret"))
+def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
+                      px, h, max_steps, interpret=False, res_t=None):
     """One pallas call = h sweeps.  Padded window inputs, interior outputs.
+    (stepd is derived in-kernel from the fdr window — no stepd DMA.)
 
     With ``res_t`` (int32 truncation flags) the tracked kernel variant runs
     and a fifth (rp, cp) output carries the updated flags."""
@@ -205,19 +219,18 @@ def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
     win = (BH + 2 * h, BW + 2 * h)
     vma = jax.typeof(thresh).vma  # shard_map callers: outputs inherit axes
     out_shape = [jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma)] * 4
-    inputs = [t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z]
+    inputs = [t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z]
     if track:
         inputs.append(res_t)
         out_shape.append(jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma))
     return pl.pallas_call(
         functools.partial(
-            _downslope_kernel, h=h, max_steps=max_steps, track=track
+            _downslope_kernel, px=px, h=h, max_steps=max_steps, track=track
         ),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),  # whole flags array
-            pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -231,8 +244,7 @@ def _downslope_sweeps(t, flags, fdr_p, stepd_p, d_p, zt_p, thresh, res_d, res_z,
             pltpu.VMEM(win, jnp.int32),
             pltpu.VMEM(win, jnp.float32),
             pltpu.VMEM(win, jnp.float32),
-            pltpu.VMEM(win, jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.SemaphoreType.DMA((3,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
@@ -279,7 +291,7 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 
     track = trunc0 is not None
     rows, cols = dem.shape
-    z, terminal, stepd = _terminal_and_step(dem, fdr, px, NODATA)
+    z, terminal, _stepd = _terminal_and_step(dem, fdr, px, NODATA)
     thresh0 = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
     if track:
@@ -305,7 +317,6 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     rp, cp = _block_dims(rows, cols)
     nby, nbx = rp // BH, cp // BW
     fdr_p = _pad_block(fdr_eff, h, rp, cp, 0)
-    stepd_p = _pad_block(stepd, h, rp, cp, 0.0)
     thresh = _pad_block(thresh0, h, rp, cp, 0.0)[h:-h, h:-h]
     live0 = _pad_block(~terminal, h, rp, cp, False)[h:-h, h:-h]
 
@@ -339,8 +350,8 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
         d_p = jnp.pad(D, h)
         zt_p = jnp.pad(Zt, h)
         out = _downslope_sweeps(
-            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, stepd_p, d_p, zt_p,
-            thresh, res_d, res_z, h, max_steps, interpret=interpret,
+            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, d_p, zt_p,
+            thresh, res_d, res_z, px, h, max_steps, interpret=interpret,
             res_t=res_t,
         )
         if track:
