@@ -32,10 +32,13 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 EXAMPLE = "/root/reference/Example"
 WARMUP = 1
-ITERS = 3
+# Run-to-run variance over the relay is ~±25 %, so the headline is the
+# median of ITERS timed batches (round-4 verdict, Weak #4: single captures
+# are untrustworthy; CLAUDE.md's own median-of-several-runs rule).
+ITERS = 7
 
 
-def _time_suite(device, dem, fdr, fac, river, cfg, batch=1):
+def _time_suite(device, dem, fdr, fac, river, cfg, batch=1, iters=ITERS):
     """Median seconds per suite run.
 
     ``batch=1``: latency of one run including the sync round trip (the
@@ -65,11 +68,27 @@ def _time_suite(device, dem, fdr, fac, river, cfg, batch=1):
     for _ in range(WARMUP):
         run()
     times = []
-    for _ in range(ITERS):
+    for _ in range(iters):
         t0 = time.perf_counter()
         run()
         times.append(time.perf_counter() - t0)
     return float(np.median(times)) / batch
+
+
+def _walk_tiers(shape, cfg):
+    """Which Pallas tier each walk phase runs at this grid size (round-4
+    verdict, Weak #2: tier choices must be visible in artifacts)."""
+    if cfg.resolve_engine() != "pallas":
+        return {"flow": "xla", "downslope": "xla"}
+    from descriptools_tpu.ops.pallas.walk_vmem import fits_vmem
+
+    r, c = shape
+    return {
+        "flow": "pallas_vmem" if fits_vmem(r, c, "walk3") else "pallas_blocked",
+        "downslope": (
+            "pallas_vmem" if fits_vmem(r, c, "downslope") else "pallas_blocked"
+        ),
+    }
 
 
 def _inputs():
@@ -138,7 +157,9 @@ def main():
     if t_cpu is None:
         try:
             cpu = jax.devices("cpu")[0]
-            t_cpu = _time_suite(cpu, dem, fdr, fac, river, cfg)
+            # The CPU denominator is deterministic (no relay variance) and
+            # slow — 3 batches suffice there.
+            t_cpu = _time_suite(cpu, dem, fdr, fac, river, cfg, iters=3)
             os.makedirs(os.path.dirname(cache_path), exist_ok=True)
             with open(cache_path, "w") as fh:
                 json.dump({"rev": rev, "t_cpu": t_cpu}, fh)
@@ -155,8 +176,13 @@ def main():
                 "vs_baseline": round(vs, 3),
                 "steady_state_ms": round(t_accel * 1e3, 1),
                 "latency_ms_incl_sync_rtt": round(t_latency * 1e3, 1),
-                "methodology": "sustained: 5 pipelined runs per sync",
+                "methodology": (
+                    f"sustained: 5 pipelined runs per sync; median of "
+                    f"{ITERS} timed batches"
+                ),
+                "n_timing_batches": ITERS,
                 "engine": cfg_run.resolve_engine(),
+                "walk_tiers": _walk_tiers(dem.shape, cfg_run),
                 "rev": rev,
             }
         )

@@ -39,11 +39,52 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from descriptools_tpu.constants import DOWNSLOPE_MAX_STEPS, NODATA
 from descriptools_tpu.d8 import decode, pull8, successor
 
 _NEG_INF = jnp.float32(-3e38)
+
+# Packed step counts: every downslope engine accumulates the walk's cardinal
+# and diagonal step COUNTS in one int32 (cardinal bits 0-15, diagonal 16-31)
+# instead of a serially-summed f32 distance raster — one raster fewer
+# through the VMEM-bandwidth-bound sweeps, and the counts are exact
+# integers.  No overflow is possible: the lookahead advances at most one
+# step per sweep and every engine gates sweeps at max_steps (<= 5000 << 2^15,
+# constants.py DOWNSLOPE_MAX_STEPS), so both fields stay < 2^13.  The f32
+# distance is reconstructed ONCE at the stop via :func:`unpack_dist` —
+# identical expression and operand order in every engine, so cross-engine
+# results remain bitwise while landing ~1 ulp from the float64 distance
+# (the old serial sums carried O(sqrt(L)) ulps).  Round 4 reverted this
+# because the VMEM kernel reconstructed the distance INSIDE the per-sweep
+# hit path (blowing Mosaic's spill slots); the round-5 kernels freeze the
+# packed counts at the hit instead and reconstruct strictly post-pass.
+_INC_DIAG = 1 << 16
+
+
+def step_inc_consts():
+    """Per-direction packed increments in D8_CODES order."""
+    from descriptools_tpu.constants import D8_STEP
+
+    return [
+        jnp.int32(1 if float(s) == 1.0 else _INC_DIAG) for s in D8_STEP
+    ]
+
+
+def unpack_dist(pk, px):
+    """f32 path distance from packed counts — the one shared reconstruction.
+
+    Uses exactly the reference per-step f32 lengths (f32(step) * f32(px),
+    the same operands d8.decode / walk_vmem._step_consts feed the serial
+    engines; slope.py:255 / downslope.py:495 diagonal convention)."""
+    from descriptools_tpu.constants import D8_STEP
+
+    a = jnp.bitwise_and(pk, (1 << 16) - 1).astype(jnp.float32)
+    b = jnp.right_shift(pk, 16).astype(jnp.float32)  # pk >= 0 always
+    c_card = jnp.float32(np.float32(D8_STEP[0]) * np.float32(px))
+    c_diag = jnp.float32(np.float32(D8_STEP[1]) * np.float32(px))
+    return a * c_card + b * c_diag
 
 
 def trunc_cells(dem, fdr, row0, col0, grid_rows, grid_cols, nodata=NODATA):
@@ -98,18 +139,23 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps, trunc0=None
     z, terminal, stepd = _terminal_and_step(dem, fdr, px, NODATA)
     thresh = z - jnp.float32(elevation_difference)
     fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr))
+    # Packed per-cell step increment (cardinal 1 / diagonal 1<<16; 0 at
+    # terminals) — see the packed-counts note above unpack_dist.
+    inc = jnp.where(
+        terminal, 0, jnp.where(stepd > jnp.float32(px), _INC_DIAG, 1)
+    ).astype(jnp.int32)
     track = trunc0 is not None
 
-    # Lookahead state, two arrays per sweep: D_t (distance of t steps) and
-    # Zt_t = z at P_t with the terminal flag folded in as a -2^20 offset
-    # (exact for integer-valued elevations: f32 ulp at 2^20 is 1/16).  t=0:
-    # self.
+    # Lookahead state, two arrays per sweep: pk_t (packed step counts of t
+    # steps) and Zt_t = z at P_t with the terminal flag folded in as a -2^20
+    # offset (exact for integer-valued elevations: f32 ulp at 2^20 is 1/16).
+    # t=0: self.
     _OFF = jnp.float32(1 << 20)
     _HALF = jnp.float32(1 << 19)
     Zt0 = jnp.where(terminal, z - _OFF, z)
-    D0 = jnp.zeros_like(z)
+    pk0 = inc * 0  # varying-typed zero (shard_map carries track mesh axes)
     stopped0 = terminal  # stop at k=0 when the start itself is terminal
-    res_d0 = jnp.zeros_like(z)
+    res_pk0 = pk0
     res_z0 = z
     if track:
         Tt0 = jnp.asarray(trunc0, jnp.bool_)
@@ -127,24 +173,24 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps, trunc0=None
 
     def body(carry):
         if track:
-            stopped, D, Zt, Tt, res_d, res_z, res_t, t = carry
+            stopped, pk, Zt, Tt, res_pk, res_z, res_t, t = carry
         else:
-            stopped, D, Zt, res_d, res_z, t = carry
+            stopped, pk, Zt, res_pk, res_z, t = carry
             Tt = res_t = None
         for k in range(UNROLL):
             live = t + k < max_steps
             if track:
-                pD, pZt, pT = pull8(fdr_eff, [D, Zt, Tt], [0.0, 0.0, False])
+                p_pk, pZt, pT = pull8(fdr_eff, [pk, Zt, Tt], [0, 0.0, False])
                 Tt = jnp.where(live, pT, Tt)
             else:
-                pD, pZt = pull8(fdr_eff, [D, Zt], [0.0, 0.0])
-            D = jnp.where(live, stepd + pD, D)
+                p_pk, pZt = pull8(fdr_eff, [pk, Zt], [0, 0.0])
+            pk = jnp.where(live, inc + p_pk, pk)
             Zt = jnp.where(live, pZt, Zt)
             # Offset-encoded key: terminal positions sit ~2^20 below any
             # real elevation, so one compare catches both stop conditions.
             hit = live & (~stopped) & (Zt <= thresh)
             z_at = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
-            res_d = jnp.where(hit, D, res_d)
+            res_pk = jnp.where(hit, pk, res_pk)
             res_z = jnp.where(hit, z_at, res_z)
             if track:
                 # Truncated iff the stop was a terminal (offset-encoded)
@@ -152,26 +198,27 @@ def _downslope_jacobi(dem, fdr, px, elevation_difference, max_steps, trunc0=None
                 res_t = jnp.where(hit, Tt & (Zt < -_HALF), res_t)
             stopped = stopped | hit
         if track:
-            return (stopped, D, Zt, Tt, res_d, res_z, res_t, t + UNROLL)
-        return (stopped, D, Zt, res_d, res_z, t + UNROLL)
+            return (stopped, pk, Zt, Tt, res_pk, res_z, res_t, t + UNROLL)
+        return (stopped, pk, Zt, res_pk, res_z, t + UNROLL)
 
     if track:
-        carry = (stopped0, D0, Zt0, Tt0, res_d0, res_z0, res_t0,
+        carry = (stopped0, pk0, Zt0, Tt0, res_pk0, res_z0, res_t0,
                  jnp.array(0, jnp.int32))
-        stopped, D, Zt, _Tt, res_d, res_z, res_t, _t = jax.lax.while_loop(
+        stopped, pk, Zt, _Tt, res_pk, res_z, res_t, _t = jax.lax.while_loop(
             cond, body, carry
         )
     else:
-        carry = (stopped0, D0, Zt0, res_d0, res_z0, jnp.array(0, jnp.int32))
-        stopped, D, Zt, res_d, res_z, _t = jax.lax.while_loop(cond, body, carry)
+        carry = (stopped0, pk0, Zt0, res_pk0, res_z0, jnp.array(0, jnp.int32))
+        stopped, pk, Zt, res_pk, res_z, _t = jax.lax.while_loop(cond, body, carry)
 
     # Cap: unstopped cells take the partial result at the lookahead horizon
     # (identical formula, downslope.py:303-312).  A cap stop is exact: had
     # the path reached any terminal (incl. a block edge) it would have hit.
-    res_d = jnp.where(stopped, res_d, D)
+    res_pk = jnp.where(stopped, res_pk, pk)
     res_z = jnp.where(stopped, res_z, jnp.where(Zt < -_HALF, Zt + _OFF, Zt))
 
-    out = jnp.where(res_d == 0.0, 0.0, (z - res_z) / res_d)
+    res_d = unpack_dist(res_pk, px)
+    out = jnp.where(res_pk == 0, 0.0, (z - res_z) / res_d)
     out = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
     if track:
         return out, res_t & stopped

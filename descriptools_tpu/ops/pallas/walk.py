@@ -137,19 +137,15 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
 
         fdr_w = w_fdr[:, :]
         masks = [fdr_w == code for code in D8_CODES]
-        # stepd derived in-kernel from the fdr window instead of a fourth
-        # window DMA: the per-direction f32 lengths are constants
-        # (np.float32 products — bitwise the stepd raster's values, the
-        # same trick as walk_vmem._step_consts).
-        import numpy as _np
-
-        from descriptools_tpu.constants import D8_STEP as _STEP
-
-        c_card = jnp.float32(_np.float32(_STEP[0]) * _np.float32(px))
-        c_diag = jnp.float32(_np.float32(_STEP[1]) * _np.float32(px))
+        # Packed step-count increment derived in-kernel from the fdr window
+        # (no stepd DMA): cardinal -> +1, diagonal -> +1<<16, the shared
+        # packed-counts encoding (ops.downslope.unpack_dist note).  The f32
+        # distance is reconstructed only in the wrapper's final expression,
+        # never inside the sweep (the round-4 spill-slot failure mode).
         diag = (fdr_w == 2) | (fdr_w == 8) | (fdr_w == 32) | (fdr_w == 128)
-        stepd_w = jnp.where(
-            fdr_w == 0, jnp.float32(0.0), jnp.where(diag, c_diag, c_card)
+        inc_w = jnp.where(
+            fdr_w == 0, jnp.int32(0),
+            jnp.where(diag, jnp.int32(1 << 16), jnp.int32(1)),
         )
         thresh = thresh_ref[:, :]
         t0 = t_ref[0, 0]
@@ -159,11 +155,11 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
             gate = (t0 + k) < max_steps
             pD = _pull(masks, D)
             pZt = _pull(masks, Zt)
-            D = jnp.where(gate, stepd_w + pD, D)
+            D = jnp.where(gate, inc_w + pD, D)
             Zt = jnp.where(gate, pZt, Zt)
             D_i = D[h : h + BH, h : h + BW]
             Zt_i = Zt[h : h + BH, h : h + BW]
-            hit = gate & (res_d == 0.0) & (Zt_i <= thresh)
+            hit = gate & (res_d == 0) & (Zt_i <= thresh)
             z_at = jnp.where(Zt_i < -_HALF, Zt_i + _OFF, Zt_i)
             if track:
                 # Decode the double terminal offset (truncated terminal)
@@ -218,7 +214,12 @@ def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
     grid = (rp // BH, cp // BW)
     win = (BH + 2 * h, BW + 2 * h)
     vma = jax.typeof(thresh).vma  # shard_map callers: outputs inherit axes
-    out_shape = [jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma)] * 4
+    out_shape = [
+        jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),  # packed counts
+        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),  # Zt
+        jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),  # res packed
+        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),  # res z
+    ]
     inputs = [t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z]
     if track:
         inputs.append(res_t)
@@ -242,7 +243,7 @@ def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM(win, jnp.int32),
-            pltpu.VMEM(win, jnp.float32),
+            pltpu.VMEM(win, jnp.int32),  # packed-count window
             pltpu.VMEM(win, jnp.float32),
             pltpu.SemaphoreType.DMA((3,)),
         ],
@@ -320,10 +321,10 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     thresh = _pad_block(thresh0, h, rp, cp, 0.0)[h:-h, h:-h]
     live0 = _pad_block(~terminal, h, rp, cp, False)[h:-h, h:-h]
 
-    d0 = jnp.zeros((rp, cp), jnp.float32)
+    d0 = jnp.zeros((rp, cp), jnp.int32)  # packed step counts
     # Padding saturates (terminal-encoded) so padded blocks go quiescent.
     zt = _pad_block(zt0, h, rp, cp, -_OFF)[h:-h, h:-h]
-    res_d = jnp.zeros((rp, cp), jnp.float32)
+    res_d = jnp.zeros((rp, cp), jnp.int32)  # packed counts at the stop
     res_z = _pad_block(z, h, rp, cp, 0.0)[h:-h, h:-h]
     if track:
         # Stopped-at-start cells carry their own flag (jacobi's res_t0).
@@ -340,12 +341,12 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 
     def cond(carry):
         res_d, _rz, _rt, _d, _zt, t = carry
-        return jnp.any((res_d == 0.0) & live0) & (t < max_steps)
+        return jnp.any((res_d == 0) & live0) & (t < max_steps)
 
     def body(carry):
         res_d, res_z, res_t, D, Zt, t = carry
         flags = jnp.where(
-            mono, _blk((res_d == 0.0) & live0), _blk(Zt >= -_HALF)
+            mono, _blk((res_d == 0) & live0), _blk(Zt >= -_HALF)
         )
         d_p = jnp.pad(D, h)
         zt_p = jnp.pad(Zt, h)
@@ -367,13 +368,17 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
 
     # Cap: unstopped cells take the partial at the horizon (downslope.py:303).
     # Cap stops are never truncation-flagged (jacobi's ``res_t & stopped``).
-    unstopped = (res_d == 0.0) & live0
+    unstopped = (res_d == 0) & live0
     res_d = jnp.where(unstopped, D, res_d)
     res_z = jnp.where(unstopped, _decode(Zt), res_z)
 
     res_d = res_d[:rows, :cols]
     res_z = res_z[:rows, :cols]
-    out = jnp.where(res_d == 0.0, 0.0, (z - res_z) / res_d)
+    from descriptools_tpu.ops.downslope import unpack_dist
+
+    out = jnp.where(
+        res_d == 0, 0.0, (z - res_z) / unpack_dist(res_d, px)
+    )
     out = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
     if track:
         trc = jnp.where(unstopped, 0, res_t)[:rows, :cols]

@@ -69,13 +69,19 @@ DOWN_BAND = 64  # downslope holds 5 state rasters, so smaller temp bands
 PAD = 8  # inert rows above and below the grid; also sweeps per band visit
 
 VMEM_BYTES = 128 * 1024 * 1024
-# Grid-sized VMEM windows per kernel kind.  Mosaic allocates input AND
-# output windows separately even under input_output_aliases (measured
-# on-chip: the 6-input/2-output tracked kernel used 161 MB on the basin,
-# not 121 MB), so track mode budgets 6 inputs + 2 outputs = 8; the +2 in
-# fits_vmem covers band temporaries.
-_STATE_RASTERS = {"downslope": 5, "downslope_track": 8, "walk3": 4,
-                  "walk2": 3}
+# Grid-sized VMEM windows per kernel kind, counted as inputs PLUS outputs:
+# Mosaic allocates input AND output windows separately even under
+# input_output_aliases (measured on-chip: a 6-input/2-output kernel used
+# 161 MB on the basin, not 121 MB).  The +2 in fits_vmem covers band
+# temporaries and the convergence-reduce temp.
+#   downslope / downslope_track: the packed freeze kernel — 4 VMEM inputs
+#     (fdr, z, pk, zt) + 2 outputs (pk, zt); tracking rides the Zt offset
+#     encoding, so both modes share one kernel and one footprint.
+#   walk3: 4 inputs (fdr, code, dist, steps) + 3 outputs.
+#   walk2: 3 inputs (fdr, code, pk) + 2 outputs (round-4 advisor fix —
+#     the old entry of 3 understated the compiled footprint by the outputs).
+_STATE_RASTERS = {"downslope": 6, "downslope_track": 6, "walk3": 7,
+                  "walk2": 5}
 
 # Truncation-tracking offset encoding (_OFF2/_T3, shared with the blocked
 # tier): see ops/pallas/walk.py — ordinary terminals encode as z - _OFF,
@@ -83,11 +89,16 @@ _STATE_RASTERS = {"downslope": 5, "downslope_track": 8, "walk3": 4,
 
 
 def fits_vmem(rows, cols, kind="downslope"):
-    """True when the whole-grid kernel's state + temp headroom fits VMEM."""
+    """True when the whole-grid kernel's state + temp headroom fits VMEM.
+
+    Budget = grid-sized windows (inputs + outputs, _STATE_RASTERS — Mosaic
+    does not collapse aliased pairs) + a generous 24 band-sized temporaries
+    for the sweep select chains and spill slots."""
     band = DOWN_BAND if kind.startswith("downslope") else FLOW_BAND
     rp, cp = _align(rows, cols, band)
-    live = (_STATE_RASTERS[kind] + 2) * (rp + 2 * PAD) * cp * 4
-    return live <= VMEM_BYTES
+    raster = (rp + 2 * PAD) * cp * 4
+    temps = 24 * (band + 2 * PAD) * cp * 4
+    return _STATE_RASTERS[kind] * raster + temps <= VMEM_BYTES
 
 
 def _align(rows, cols, band):
@@ -404,136 +415,110 @@ def flow_pallas_vmem(fdr, river, px, max_steps=20000, interpret=False):
 
 # ---------------------------------------------------------------------------
 # Downslope: walk until the cumulative drop reaches the threshold.
+#
+# Round-5 packed FREEZE kernel: per-cell state is only (pk, Zt) — pk the
+# int32 packed cardinal/diagonal step counts (ops.downslope.unpack_dist),
+# Zt the lookahead elevation with the usual terminal offset encodings.  A
+# cell is FROZEN as soon as Zt <= z - ed (its first hit, or a terminal /
+# truncated-terminal stop via the offsets); frozen cells stop advancing, so
+# their (pk, Zt) ARE the first-hit record and the ratio is reconstructed
+# once, post-pass, outside the sweep loop — no res raster, no trc raster,
+# no in-sweep f32 reconstruction (the round-4 spill-slot failure mode).
+#
+# Exactness of freezing requires MONOTONE descent (z non-increasing along
+# every D8 step — true for real hydrological fdr): while a cell u is
+# unfrozen at sweep t, succ^k(u) was unfrozen at sweep t-k (a hit in s's
+# first t-1 lookaheads would be a hit in u's first t, contradiction), so
+# every value an unfrozen cell pulls is a genuine synchronous lookahead —
+# the same argument that justified the frozen-band skip rule before.  For
+# non-monotone (adversarial) inputs the wrapper lax.cond-falls back to the
+# XLA jacobi engine, which is unconditionally exact and bitwise-identical
+# on the packed operands.
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(mono_ref, fdr_ref, z_ref, d_ref, zt_ref, res_ref,
-                      *rest, px, elevation_difference, max_steps, nbands,
-                      band, track=False):
-    if track:
-        trc_ref, res_out, trc_out, flag_ref = rest
-    else:
-        trc_ref = trc_out = None
-        res_out, flag_ref = rest
-    consts = _step_consts(px)
+def _downslope_kernel(fdr_ref, z_ref, pk_ref, zt_ref, pk_out, zt_out,
+                      flag_ref, *, elevation_difference, max_steps, nbands,
+                      band):
+    from descriptools_tpu.ops.downslope import step_inc_consts
+
+    incs = step_inc_consts()
     ed = jnp.float32(elevation_difference)
 
-    def z_at_of(Zt):
-        # Decode the terminal offset encoding (double offset = truncated
-        # terminal, track mode only — the extra select is gated out of the
-        # single-device kernel to keep its sweep unchanged).
-        base = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
-        if not track:
-            return base
-        return jnp.where(Zt < jnp.float32(-_T3), Zt + jnp.float32(_OFF2), base)
-
-    # Per-band residual counters (SMEM), two regimes:
-    #
-    # mono == 1 (z non-increasing along every D8 step — true for real
-    # hydrological fdr; checked by the wrapper): count UNFROZEN cells
-    # (res still NaN).  Exactness: an unfrozen cell u's sweep-t value
-    # depends on succ^k(u)'s table at sweep t-k, and under monotone z the
-    # downstream cell's threshold is never higher, so succ^k(u) is itself
-    # unfrozen at sweep t-k (its band was live; the value is genuine);
-    # after u freezes, first-hit res ignores later garbage.  Bands full of
-    # frozen cells can therefore go stale safely.
-    #
-    # mono == 0 (adversarial fdr): count UNSATURATED cells (lookahead not
-    # yet terminal-encoded); saturation is monotone and saturated cells
-    # never change, so skipping all-saturated bands is unconditionally
-    # exact — just far less aggressive.
-    def band_count(zt_c, res_c):
-        unfrozen = jnp.sum(jnp.isnan(res_c).astype(jnp.int32))
-        unsat = jnp.sum((zt_c >= -_HALF).astype(jnp.int32))
-        return jnp.where(mono_ref[0, 0] == 1, unfrozen, unsat)
+    # Per-band unfrozen-cell counters (SMEM): a band of frozen cells is at
+    # its fixed point (frozen cells never advance), so it is skipped; the
+    # counters also drive the global convergence check, replacing a
+    # full-grid reduction.
+    def band_count(zt_c, z_c):
+        return jnp.sum((zt_c > z_c - ed).astype(jnp.int32))
 
     def init_flag(b, c):
         _base, start, _below = _starts(b, band)
         flag_ref[b] = band_count(
-            zt_ref[pl.ds(start, band), :], res_ref[pl.ds(start, band), :]
+            zt_ref[pl.ds(start, band), :], z_ref[pl.ds(start, band), :]
         )
         return c
 
     jax.lax.fori_loop(0, nbands, init_flag, 0)
 
-    # PAD sweeps per band visit (see the flow kernel note): the res raster
-    # rides the visit as a window-sized carry so first-hit freezing stays
-    # per-global-sweep exact; halo-region res updates are discarded.
+    # PAD sweeps per band visit with the carried pre-visit tail (module
+    # docstring): Jacobi-exact, temporaries band-sized.
     def visit(v, t0):
         def band_body(b, carry):
-            saved_d, saved_zt = carry
+            saved_pk, saved_zt = carry
             base, start, below = _starts(b, band)
             tail = pl.multiple_of(start + band - PAD, PAD)
-            nxt = (d_ref[pl.ds(tail, PAD), :], zt_ref[pl.ds(tail, PAD), :])
+            nxt = (pk_ref[pl.ds(tail, PAD), :], zt_ref[pl.ds(tail, PAD), :])
 
             @pl.when(flag_ref[b] > 0)
             def _():
                 fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
                 masks = _visit_masks(fdr_ext)
-                d_ext = _band_ext(d_ref, start, below, saved_d, band)
+                pk_ext = _band_ext(pk_ref, start, below, saved_pk, band)
                 zt_ext = _band_ext(zt_ref, start, below, saved_zt, band)
                 z_ext = z_ref[pl.ds(base, band + 2 * PAD), :]
-                res_ext = res_ref[pl.ds(base, band + 2 * PAD), :]
-                trc_ext = (
-                    trc_ref[pl.ds(base, band + 2 * PAD), :] if track else None
-                )
                 thresh = z_ext - ed
 
                 def sweep_k(k, st):
-                    D, Zt, res, trc = st
-                    D = _pull_add(masks, D, consts)
-                    Zt = _pull_sel(masks, Zt)
-                    hit = jnp.isnan(res) & (Zt <= thresh)
-                    z_at = z_at_of(Zt)
-                    res = jnp.where(hit, (z_ext - z_at) / D, res)
-                    if track:
-                        # Truncated iff the stop is a double-offset terminal;
-                        # threshold stops (Zt un-offset) are exact.
-                        trc = jnp.where(
-                            hit & (Zt < jnp.float32(-_T3)), jnp.int32(1), trc
-                        )
-                    return (D, Zt, res, trc)
+                    pk_w, zt_w = st
+                    frozen = zt_w <= thresh
+                    p_zt = _pull_sel(masks, zt_w)
+                    cand = _pull_add(masks, pk_w, incs)
+                    return (
+                        jnp.where(frozen, pk_w, cand),
+                        jnp.where(frozen, zt_w, p_zt),
+                    )
 
                 nk = jnp.clip(max_steps - t0, 0, PAD)
-                D, Zt, res, trc = jax.lax.fori_loop(
-                    0, nk, sweep_k, (d_ext, zt_ext, res_ext, trc_ext)
+                pk_ext, zt_ext = jax.lax.fori_loop(
+                    0, nk, sweep_k, (pk_ext, zt_ext)
                 )
-                Zt_c = Zt[PAD : PAD + band]
-                res_c = res[PAD : PAD + band]
-                d_ref[pl.ds(start, band), :] = D[PAD : PAD + band]
-                zt_ref[pl.ds(start, band), :] = Zt_c
-                res_ref[pl.ds(start, band), :] = res_c
-                if track:
-                    trc_ref[pl.ds(start, band), :] = trc[PAD : PAD + band]
-                flag_ref[b] = band_count(Zt_c, res_c)
+                zt_c = zt_ext[PAD : PAD + band]
+                pk_ref[pl.ds(start, band), :] = pk_ext[PAD : PAD + band]
+                zt_ref[pl.ds(start, band), :] = zt_c
+                flag_ref[b] = band_count(zt_c, z_ext[PAD : PAD + band])
 
             return nxt
 
-        saved0 = (d_ref[pl.ds(0, PAD), :], zt_ref[pl.ds(0, PAD), :])
+        saved0 = (pk_ref[pl.ds(0, PAD), :], zt_ref[pl.ds(0, PAD), :])
         jax.lax.fori_loop(0, nbands, band_body, saved0)
         return t0 + PAD
 
-    def cond(carry):
-        return jnp.any(jnp.isnan(res_ref[:, :])) & (carry < max_steps)
+    def cond(t):
+        unfrozen = jax.lax.fori_loop(
+            0, nbands, lambda b, acc: acc + flag_ref[b], jnp.int32(0)
+        )
+        return (unfrozen > 0) & (t < max_steps)
 
     def body(t):
         return jax.lax.fori_loop(0, CHECK // PAD, visit, t)
 
     jax.lax.while_loop(cond, body, jnp.int32(0))
-    # Cap: cells still walking take the partial at the horizon
-    # (downslope.py:303-312 semantics, same operands as the XLA engine).
-    Zt = zt_ref[:, :]
-    D = d_ref[:, :]
-    z = z_ref[:, :]
-    res = res_ref[:, :]
-    z_at = z_at_of(Zt)
-    partial_ = jnp.where(D == 0.0, 0.0, (z - z_at) / D)
-    res_out[:, :] = jnp.where(jnp.isnan(res), partial_, res)
-    if track:
-        # Cap stops are exact (had the path reached any terminal it would
-        # have hit), so capped cells are never truncation-flagged — same
-        # rule as _downslope_jacobi's ``res_t & stopped``.
-        trc_out[:, :] = jnp.where(jnp.isnan(res), jnp.int32(0), trc_ref[:, :])
+    # Unfrozen (capped) cells keep their horizon (pk, Zt): the wrapper's
+    # post-pass partial formula is identical for both cases
+    # (downslope.py:303-312 semantics).
+    pk_out[:, :] = pk_ref[:, :]
+    zt_out[:, :] = zt_ref[:, :]
 
 
 @functools.partial(
@@ -545,16 +530,24 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
     """Downslope index, whole walk in one kernel launch.
 
     Bit-identical to ops.downslope._downslope_jacobi (downslope.py:434-532
-    spec): same pull order, same f32 accumulation, same cap semantics.
+    spec): same pull order, identical packed step counts and the one shared
+    f32 reconstruction (ops.downslope.unpack_dist), same cap semantics.
 
     With ``trunc0`` (per-cell bool from ops.downslope.trunc_cells) also
-    returns an int32 raster flagging cells whose stop landed on a truncated
+    returns a bool raster flagging cells whose stop landed on a truncated
     terminal — the sharded path's halo-doubling retry signal, threaded
-    through the walk as a double terminal offset on Zt (see _OFF2).  The
-    single-device path (trunc0=None) compiles the unchanged 5-raster kernel.
+    through the walk as a double terminal offset on Zt (see _OFF2).  Both
+    modes run the SAME 4-in/2-out freeze kernel; the flag is decoded from
+    the frozen Zt post-pass.  Non-monotone-descent inputs (adversarial fdr)
+    take the XLA jacobi branch of a lax.cond instead — the freeze rule's
+    exactness argument needs monotone z (see the kernel section note).
     """
     from descriptools_tpu.d8 import pull8
-    from descriptools_tpu.ops.downslope import _terminal_and_step
+    from descriptools_tpu.ops.downslope import (
+        _downslope_jacobi,
+        _terminal_and_step,
+        unpack_dist,
+    )
 
     track = trunc0 is not None
     rows, cols = dem.shape
@@ -569,62 +562,67 @@ def downslope_pallas_vmem(dem, fdr, px, elevation_difference,
         )
     else:
         zt0 = jnp.where(terminal, z - _OFF, z)
-    res0 = jnp.where(terminal, 0.0, jnp.float32(jnp.nan))
     # Monotone-descent probe (terminal cells self-pull, so they compare
-    # equal): selects the aggressive frozen-cell band-skip rule when every
-    # D8 step is non-increasing in z — see _downslope_kernel.
+    # equal): gates the freeze kernel (see section note).
     (z_succ,) = pull8(fdr_eff, [z], [0.0])
-    mono = jnp.all(z_succ <= z).astype(jnp.int32).reshape(1, 1)
+    mono = jnp.all(z_succ <= z)
 
-    rp, cp = _align(rows, cols, DOWN_BAND)
-    fdr_p = _pad(fdr_eff, rp, cp, 0)
-    z_p = _pad(z, rp, cp, 0.0)
-    # Pad ring: terminal-encoded (saturated) so padded bands go quiescent
-    # and the per-band skip flags can clear.
-    zt_p = _pad(zt0, rp, cp, -_OFF)
-    res_p = _pad(res0, rp, cp, 0.0)  # pad ring: resolved, never NaN
-    d_p = jnp.zeros_like(z_p)
+    def z_at_of(Zt):
+        base = jnp.where(Zt < -_HALF, Zt + _OFF, Zt)
+        if not track:
+            return base
+        return jnp.where(Zt < jnp.float32(-_T3), Zt + jnp.float32(_OFF2), base)
 
-    vma = jax.typeof(z_p).vma  # shard_map callers: outputs inherit mesh axes
-    inputs = [mono, fdr_p, z_p, d_p, zt_p, res_p]
-    out_shape = jax.ShapeDtypeStruct(z_p.shape, jnp.float32, vma=vma)
-    if track:
-        # Stopped-at-start cells carry their own flag (jacobi's res_t0).
-        trc0 = trunc_t.astype(jnp.int32)
-        inputs.append(_pad(trc0, rp, cp, 0))
-        out_shape = [
-            out_shape,
-            jax.ShapeDtypeStruct(z_p.shape, jnp.int32, vma=vma),
-        ]
+    def run_freeze(_):
+        rp, cp = _align(rows, cols, DOWN_BAND)
+        fdr_p = _pad(fdr_eff, rp, cp, 0)
+        z_p = _pad(z, rp, cp, 0.0)
+        # Pad ring: terminal-encoded (frozen: -_OFF <= 0 - ed) so padded
+        # bands are quiescent and the per-band skip flags clear.
+        zt_p = _pad(zt0, rp, cp, -_OFF)
+        pk_p = jnp.zeros(z_p.shape, jnp.int32)
 
-    out = pl.pallas_call(
-        functools.partial(
-            _downslope_kernel, px=px,
-            elevation_difference=elevation_difference, max_steps=max_steps,
-            nbands=rp // DOWN_BAND, band=DOWN_BAND, track=track,
-        ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-        + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (6 if track else 5),
-        out_specs=(
-            [pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-            if track
-            else pl.BlockSpec(memory_space=pltpu.VMEM)
-        ),
-        out_shape=out_shape,
-        input_output_aliases={5: 0, 6: 1} if track else {5: 0},
-        scratch_shapes=[pltpu.SMEM((rp // DOWN_BAND,), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
-        interpret=interpret,
-    )(*inputs)
+        vma = jax.typeof(z_p).vma  # shard_map: outputs inherit mesh axes
+        pk, zt = pl.pallas_call(
+            functools.partial(
+                _downslope_kernel,
+                elevation_difference=elevation_difference,
+                max_steps=max_steps, nbands=rp // DOWN_BAND, band=DOWN_BAND,
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 4,
+            out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
+            out_shape=[
+                jax.ShapeDtypeStruct(z_p.shape, jnp.int32, vma=vma),
+                jax.ShapeDtypeStruct(z_p.shape, jnp.float32, vma=vma),
+            ],
+            input_output_aliases={2: 0, 3: 1},
+            scratch_shapes=[pltpu.SMEM((rp // DOWN_BAND,), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
+            interpret=interpret,
+        )(fdr_p, z_p, pk_p, zt_p)
 
-    sl = np.s_[PAD : PAD + rows, :cols]
-    res = (out[0] if track else out)[sl]
-    # res == 0 stops (terminal-at-start) encode their 0 directly in res0;
-    # NODATA masking is the only post-pass.
-    res = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)
-    if track:
-        return res, out[1][sl].astype(jnp.bool_)
-    return res
+        sl = np.s_[PAD : PAD + rows, :cols]
+        pk = pk[sl]
+        Zt = zt[sl]
+        # Post-pass reconstruction — identical operands/expression to the
+        # jacobi engine, shared via unpack_dist.
+        res = jnp.where(
+            pk == 0, 0.0, (z - z_at_of(Zt)) / unpack_dist(pk, px)
+        )
+        res = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)
+        if track:
+            ed = jnp.float32(elevation_difference)
+            frozen = Zt <= z - ed
+            return res, frozen & (Zt < jnp.float32(-_T3))
+        return res
+
+    def run_jacobi(_):
+        return _downslope_jacobi(
+            dem, fdr, px, elevation_difference, max_steps,
+            trunc0=trunc0 if track else None,
+        )
+
+    return jax.lax.cond(mono, run_freeze, run_jacobi, None)
 
 
 # ---------------------------------------------------------------------------

@@ -93,7 +93,7 @@ def disk_loaders(cache_dir):
             for k, v in mm.items()}
 
 
-def sample_checks(loaders, shape, out, cfg, rng, n_windows=4, win=256):
+def sample_checks(loaders, shape, out, cfg, rng, n_windows=16, win=256):
     """Oracle + invariant spot checks on random interior windows."""
     from descriptools_tpu import oracle
     from descriptools_tpu.tiled import load_window
@@ -245,6 +245,12 @@ def main():
     ap.add_argument("--input-cache",
                     default=os.path.join(REPO, ".config5_inputs"))
     ap.add_argument("--engine", default="auto")
+    ap.add_argument("--no-upload-in-prefetch", action="store_true",
+                    help="disable the duplex upload/download overlap")
+    ap.add_argument("--no-host-slope-rad", action="store_true",
+                    help="download slope_rad instead of host recompute")
+    ap.add_argument("--skip-verify", action="store_true",
+                    help="skip the full-coverage streaming invariant pass")
     args = ap.parse_args()
 
     import jax
@@ -275,17 +281,44 @@ def main():
         print(f"[{time.strftime('%H:%M:%S')}] {phase} {t + 1}/{total}",
               flush=True)
 
+    suite_stats = {}
     t0 = time.time()
     out = tiled_suite(
         loaders, shape, cfg, tile_rows=args.tile, tile_cols=args.tile,
         out_dir=args.out_dir, engine=args.engine, progress=note,
         cache_inputs=False,  # inputs already ARE disk memmaps
+        stats=suite_stats,
+        host_slope_rad=not args.no_host_slope_rad,
+        upload_in_prefetch=not args.no_upload_in_prefetch,
     )
     wall = time.time() - t0
     print(f"suite wall {wall:.1f}s  {cells / wall / 1e6:.2f} Mgp/s", flush=True)
 
     rng = np.random.default_rng(11)
     checks = sample_checks(loaders, shape, out, cfg, rng)
+
+    # Full-coverage streaming invariant verification (round-4 verdict,
+    # Missing #1): every one of the 2^30 cells checked against the flow
+    # fixed-point truth table — no sampling.
+    if not args.skip_verify:
+        from descriptools_tpu.verify import streaming_flow_invariants
+
+        t0 = time.time()
+        inv = streaming_flow_invariants(
+            loaders, out, shape, cfg.px, cfg.flow_max_steps,
+            tile_rows=args.tile, tile_cols=args.tile, progress=note,
+        )
+        inv["seconds"] = round(time.time() - t0, 1)
+        checks["invariants"] = inv
+        if not inv["ok"]:
+            checks["ok"] = False
+            checks.setdefault("failures", []).append(
+                f"{inv['invariant_violations']} streaming invariant "
+                "violations"
+            )
+        print(f"invariants: {inv['invariant_violations']} violations over "
+              f"{inv['cells_checked']} cells in {inv['seconds']}s",
+              flush=True)
 
     # End-to-end: ONE-pass histogram calibration + classification over the
     # HAND memmap (identical float64 threshold to the host classifier;
@@ -315,31 +348,46 @@ def main():
         seconds=round(t_classify, 1),
     )
 
-    # Relay-bound accounting (round-3 verdict, task 2d): measured link rate
-    # x bytes the pipeline must move.
+    # Relay-bound accounting (round-3 verdict task 2d; round-4 Missing #2):
+    # measured link rate x bytes the pipeline must move, under BOTH duplex
+    # assumptions — the duplex probe (scripts/probe_duplex.py) decides which
+    # bound is the operative one.
     try:
         with open(os.path.join(REPO, "artifacts", "probe_relay.json")) as fh:
             probe = json.load(fh)
         up_mbps = probe["upload_256MB_MBps"]
         down_mbps = probe["download_computed_256MB_MBps"]
     except Exception:
+        probe = {}
         up_mbps = down_mbps = None
     halo_f = (1 + 2 * 64 / args.tile) ** 2
     up_bytes = cells * 2 + cells * 8 * halo_f  # ring pass + suite pass
-    down_bytes = cells * 38  # 8 f32 + 1 i32 + 1 i16 outputs
+    # Outputs: 7 f32 + 1 i32 + 1 i16 (+ 1 f32 slope_rad unless host-side).
+    out_bpc = 34 if not args.no_host_slope_rad else 38
+    down_bytes = cells * out_bpc
     relay = {
         "measured_up_MBps": up_mbps,
         "measured_down_MBps": down_mbps,
         "upload_bytes": int(up_bytes),
         "download_bytes": int(down_bytes),
+        "download_bytes_per_cell": out_bpc,
+        "duplex_factor_measured": probe.get("duplex_factor"),
+        "duplex_full": probe.get("duplex_full"),
     }
     if up_mbps:
-        bound_s = up_bytes / (up_mbps * 2**20) + down_bytes / (
-            down_mbps * 2**20
+        t_up = up_bytes / (up_mbps * 2**20)
+        t_down = down_bytes / (down_mbps * 2**20)
+        bound_serial = t_up + t_down
+        bound_duplex = max(t_up, t_down)
+        relay["link_bound_seconds_if_serial"] = round(bound_serial, 1)
+        relay["link_bound_gps_if_serial"] = round(cells / bound_serial, 1)
+        relay["link_bound_seconds_if_duplex"] = round(bound_duplex, 1)
+        relay["link_bound_gps_if_duplex"] = round(cells / bound_duplex, 1)
+        operative = (
+            bound_duplex if probe.get("duplex_full") else bound_serial
         )
-        relay["link_bound_seconds_if_serial"] = round(bound_s, 1)
-        relay["link_bound_gps_if_serial"] = round(cells / bound_s, 1)
-        relay["fraction_of_link_bound"] = round(bound_s / wall, 3)
+        relay["operative_bound_seconds"] = round(operative, 1)
+        relay["fraction_of_link_bound"] = round(operative / wall, 3)
 
     result = {
         "config": 5,
@@ -354,6 +402,9 @@ def main():
         "wall_s": round(wall, 1),
         "grid_points_per_s": round(cells / wall, 1),
         "phase_seconds": {k: round(v, 1) for k, v in phase_t.items()},
+        "suite_stats": suite_stats,
+        "host_slope_rad": not args.no_host_slope_rad,
+        "upload_in_prefetch": not args.no_upload_in_prefetch,
         "relay_bound": relay,
         "checks": checks,
         "ok": checks["ok"],

@@ -59,10 +59,10 @@ def test_kill_after_flow_then_resume(tmp_path, resume_procs):
     # stage checkpoint lands.
     res = _launch(2, ckpt_dir, "flow")
     assert all(rc == 17 for rc, _ in res), res
-    assert os.path.exists(os.path.join(ckpt_dir, "slope.DONE"))
     assert os.path.exists(os.path.join(ckpt_dir, "flow.DONE"))
     assert not os.path.exists(os.path.join(ckpt_dir, "downslope.DONE"))
-    before = {s: _mtimes(ckpt_dir, s) for s in ("slope", "flow")}
+    assert not os.path.exists(os.path.join(ckpt_dir, "pointwise.DONE"))
+    before = {s: _mtimes(ckpt_dir, s) for s in ("flow",)}
 
     # Phase 2: resume — same process count, or ONE process re-reading the
     # two dead processes' shard blocks (block keys are global coordinates,
@@ -73,7 +73,7 @@ def test_kill_after_flow_then_resume(tmp_path, resume_procs):
             f"worker {i} rc={rc}\n{out[-4000:]}"
         )
     # Checkpointed stages were loaded, not recomputed.
-    for s in ("slope", "flow"):
+    for s in ("flow",):
         assert _mtimes(ckpt_dir, s) == before[s], f"stage {s} was recomputed"
 
 

@@ -139,6 +139,26 @@ def test_tiled_suite_matches_incore_suite():
     _assert_suite_matches(got, want)
 
 
+def test_tiled_suite_link_diet_knobs_match():
+    """host_slope_rad + upload_in_prefetch (the config-5 download-diet /
+    duplex-overlap knobs) change bytes moved, not results: integers stay
+    bitwise, slope_rad matches to float ulps (host arctan vs XLA arctan)."""
+    dem, fdr, river, fac = synthetic_basin(75, 83, seed=52)
+    dem = dem.astype(np.int32)
+    fac = fac.astype(np.int32)
+    stats = {}
+    got = tiled_suite(
+        array_loaders(dem, fdr, river, fac), (75, 83), CFG,
+        tile_rows=32, tile_cols=28, host_slope_rad=True,
+        upload_in_prefetch=True, cache_inputs=False, stats=stats,
+    )
+    want = descriptor_suite(dem, fdr, fac, river, CFG)
+    _assert_suite_matches(got, want)
+    assert stats["tiles"] == 9
+    assert stats["downslope_retries"] == 0
+    assert stats["downslope_engine"] == "xla"
+
+
 def test_tiled_suite_from_windowed_loaders_memmap(tmp_path):
     """End-to-end config-5 form in miniature: windowed synthetic loaders,
     memmap outputs on disk, bitwise integers vs the in-core suite."""
@@ -189,6 +209,32 @@ def test_tiled_suite_reads_each_loader_once_per_tile():
         base["fac"](0, rows, 0, cols), base["river"](0, rows, 0, cols), CFG,
     )
     _assert_suite_matches(got, want)
+
+    # cache_inputs=False (loaders already are cheap memmaps, config-5 path):
+    # the ring pass must not read dem/fac at all — each tile reads dem once
+    # (halo'd, suite pass) and fac TWICE (once in the suite pass, once as
+    # rz/rfac bounding windows can re-window it), never three times; fdr is
+    # read by both passes (ring + halo'd suite).  Round-4 advisor finding:
+    # the old code read dem+fac in the ring pass and discarded them.
+    calls2 = {k: [] for k in ("dem", "fdr", "river", "fac")}
+
+    def counted2(k):
+        def f(ys, ye, xs, xe):
+            calls2[k].append((ye - ys) * (xe - xs))
+            return base[k](ys, ye, xs, xe)
+        return f
+
+    got2 = tiled_suite(
+        {k: counted2(k) for k in calls2}, (rows, cols), CFG,
+        tile_rows=48, tile_cols=32, cache_inputs=False,
+    )
+    for k in ("dem", "fac"):
+        windows = [c for c in calls2[k] if c > 1]
+        # suite-pass read per tile + (fac only) rz/rfac point patches; dem
+        # additionally serves the boundary rz patch via bounding windows.
+        assert len(windows) <= 2 * n_tiles + 2, (k, len(windows))
+    assert len([c for c in calls2["fdr"] if c > 1]) == 2 * n_tiles
+    _assert_suite_matches(got2, want)
 
 
 def test_tiled_suite_downslope_trunc_retry_bitwise():
