@@ -65,7 +65,11 @@ from descriptools_tpu.ops.pallas.walk import (
 # so checking every CHECK sweeps keeps the overhead ~1/CHECK).
 CHECK = 64
 FLOW_BAND = 128  # rows per in-place band; temporaries are (band+16, cols)
-DOWN_BAND = 64  # downslope holds 5 state rasters, so smaller temp bands
+# The packed freeze kernel carries only 2 state rasters through the sweep,
+# so downslope bands can match flow's: halo rows drop from 25 % to 12.5 %
+# of each visit's traffic and the band loop halves (measured on-chip:
+# 71.8 -> see artifacts/probe_phases.json / BENCH_r05).
+DOWN_BAND = 128
 PAD = 8  # inert rows above and below the grid; also sweeps per band visit
 
 VMEM_BYTES = 128 * 1024 * 1024
@@ -78,10 +82,10 @@ VMEM_BYTES = 128 * 1024 * 1024
 #     (fdr, z, pk, zt) + 2 outputs (pk, zt); tracking rides the Zt offset
 #     encoding, so both modes share one kernel and one footprint.
 #   walk3: 4 inputs (fdr, code, dist, steps) + 3 outputs.
-#   walk2: 3 inputs (fdr, code, pk) + 2 outputs (round-4 advisor fix —
-#     the old entry of 3 understated the compiled footprint by the outputs).
+#   walk2: 2 inputs (packed dir+code, packed counts) + 2 outputs — the
+#     round-5 packed-code kernel needs no fdr raster at all.
 _STATE_RASTERS = {"downslope": 6, "downslope_track": 6, "walk3": 7,
-                  "walk2": 5}
+                  "walk2": 4}
 
 # Truncation-tracking offset encoding (_OFF2/_T3, shared with the blocked
 # tier): see ops/pallas/walk.py — ordinary terminals encode as z - _OFF,
@@ -114,7 +118,7 @@ def _pad(arr, rp, cp, fill):
     )
 
 
-def _visit_masks(fdr_ext, edge_guard=False):
+def _visit_masks(fdr_ext, edge_guard=False, codes=None):
     """Per-visit pull-select masks, precomputed once and shared by every
     sweep and every pulled array of the visit.
 
@@ -135,10 +139,16 @@ def _visit_masks(fdr_ext, edge_guard=False):
     more than PAD times (the walk3 inner convergence loop), because the
     "garbage stays in the discarded halo for <= PAD sweeps" invariant no
     longer bounds propagation.
+
+    ``codes`` overrides the 8 direction values in D8_CODES order (the
+    packed flow kernel stores compact dir indexes 1..8 instead of the
+    power-of-two D8 codes; same masks, same select order).
     """
-    m = {int(c): fdr_ext == c for c in D8_CODES}
-    dn_any = m[2] | m[4] | m[8]
-    up_any = m[32] | m[64] | m[128]
+    cs = [int(c) for c in (D8_CODES if codes is None else codes)]
+    cE, cSE, cS, cSW, cW, cNW, cN, cNE = cs
+    m = {c: fdr_ext == c for c in cs}
+    dn_any = m[cSE] | m[cS] | m[cSW]
+    up_any = m[cNW] | m[cN] | m[cNE]
     if edge_guard:
         ri = jax.lax.broadcasted_iota(jnp.int32, fdr_ext.shape, 0)
         up_any = up_any & (ri > 0)
@@ -148,9 +158,9 @@ def _visit_masks(fdr_ext, edge_guard=False):
     fdr_dn = _roll(fdr_ext, 1, 0)  # fdr of the row above, at the source row
     fdr_up = _roll(fdr_ext, -1, 0)
     return dict(
-        e=m[1], w=m[16],
-        dn=(fdr_dn == 2, fdr_dn == 4, dn_any),
-        up=(fdr_up == 32, fdr_up == 64, up_any),
+        e=m[cE], w=m[cW],
+        dn=(fdr_dn == cSE, fdr_dn == cS, dn_any),
+        up=(fdr_up == cNW, fdr_up == cN, up_any),
     )
 
 
@@ -213,16 +223,27 @@ def _band_ext(ref, start, below, saved, band):
 # ---------------------------------------------------------------------------
 # Flow: walk to the nearest river / NaN absorber.
 #
-# The in-core flow rides the 2-raster PACKED kernel: the per-cell cardinal
-# and diagonal step counts (a, b) share one int32 (a bits 0-15, b 16-31),
-# so a Gauss-Seidel visit streams (fdr, code, packed) instead of walk3's
-# (fdr, code, dist, steps) — ~30 % less VMEM band traffic, the sweeps'
-# bound.  Exactness:
-#   - indices: the hit/copy logic is identical to walk3 -> bitwise.
+# The in-core flow rides the 2-raster PACKED-CODE kernel: per cell ONE
+# int32 ``pc`` carries the resolution code in bits 4..31 (signed) and the
+# cell's OWN D8 direction as a compact index 0..8 in bits 0..3, and a
+# second int32 packs the cardinal/diagonal step counts (a bits 0-15,
+# b 16-31).  A Gauss-Seidel visit therefore streams just (pc, pk) —
+# walk3 streams (fdr, code, dist, steps) and round-4's walk2 still
+# streamed fdr alongside (code, pk); dropping the fdr read cuts the
+# per-visit VMEM band traffic while the sweep keeps the PLAIN walk2 op
+# count (one signed compare for the hit test, verbatim copy on hit — see
+# the encoding note in _walk2_kernel).  Unresolved cells' dir bits are
+# invariant (writes are hit-gated), so the per-visit masks stay valid.
+# Exactness:
+#   - indices: code = pc >> 4 (arithmetic); the hit/copy logic is
+#     identical to walk3 -> bitwise.
 #   - cap:     steps = a + b exactly (ints), same landed rule.
 #   - fdist:   a*f32(px) + b*f32(sqrt2*px) — within ~1 ulp of the float64
 #     path distance, while the serial-sum engines carry O(sqrt(L)) ulps;
 #     fdist was already engine-dependent "up to f32 summation order".
+#   - range:   codes are +idx / -idx-1 with idx < 2^23 for any VMEM-tier
+#     grid (fits_vmem caps cells well below 2^23), so 28 signed bits hold
+#     them; UNRES24 = -(1<<26) sits outside the valid range.
 #   - overflow: a resolved chain with >= 2^15 cardinal (or diagonal) steps
 #     would carry a-field bits into b.  Along any resolving path the count
 #     increments by 0/1 per cell and every suffix is some cell's FINAL
@@ -232,19 +253,33 @@ def _band_ext(ref, start, below, saved, band):
 #     alongside; executed only on such pathological >32767-step chains).
 # ---------------------------------------------------------------------------
 
+UNRES24 = -(1 << 26)  # unresolved code sentinel in the packed-pc encoding
+_PC_T = -(1 << 29)  # pc < _PC_T  <=>  unresolved (see encoding note below)
 
-def _walk2_kernel(fdr_ref, code_ref, pk_ref, code_out, pk_out, flag_ref,
+
+def _walk2_kernel(pc_ref, pk_ref, pc_out, pk_out, flag_ref,
                   *, max_steps, nbands, band):
     # int32 packed step increments in D8_CODES order: cardinal -> a += 1,
     # diagonal -> b += 1 (bit 16).
     incs = [
         jnp.int32(1 if float(s) == 1.0 else 1 << 16) for s in D8_STEP
     ]
+    # Encoding keeps the sweep at the plain walk2 op count:
+    #  - unresolved pc = (UNRES24 << 4) | dir = about -2^30, while any
+    #    resolved pc >= -(n+1)*16 > -2^29 — ONE signed compare vs _PC_T
+    #    separates them (no shift in the hit test);
+    #  - a hit copies the pulled pc VERBATIM: the copied dir bits are
+    #    garbage, but a resolved cell's dir bits are never load-bearing —
+    #    its own pulls are hit-gated off, downstream copiers overwrite the
+    #    low bits again, and the final decode shifts them away.  Unresolved
+    #    cells never overwrite, so THEIR dir bits (the mask source) stay
+    #    intact.
+    t_unres = jnp.int32(_PC_T)
 
     def init_flag(b, c):
         _base, start, _below = _starts(b, band)
         flag_ref[b] = jnp.sum(
-            (code_ref[pl.ds(start, band), :] == UNRES).astype(jnp.int32)
+            (pc_ref[pl.ds(start, band), :] < t_unres).astype(jnp.int32)
         )
         return c
 
@@ -260,41 +295,47 @@ def _walk2_kernel(fdr_ref, code_ref, pk_ref, code_out, pk_out, flag_ref,
 
             @pl.when(flag_ref[b] > 0)
             def _():
-                fdr_ext = fdr_ref[pl.ds(base, band + 2 * PAD), :]
-                masks = _visit_masks(fdr_ext, edge_guard=True)
-                code_ext = code_ref[pl.ds(base, band + 2 * PAD), :]
+                pc_ext = pc_ref[pl.ds(base, band + 2 * PAD), :]
+                # Unresolved cells' dir bits are write-invariant: masks from
+                # the visit's initial window stay valid for every sweep
+                # (resolved cells' masks select garbage that the hit gate
+                # discards).
+                masks = _visit_masks(
+                    pc_ext & 15, edge_guard=True,
+                    codes=list(range(1, 9)),
+                )
                 pk_ext = pk_ref[pl.ds(base, band + 2 * PAD), :]
 
                 def sweep_k(k, st):
-                    code_w, pk_w = st
-                    p_code = _pull_sel(masks, code_w)
+                    pc_w, pk_w = st
+                    p_pc = _pull_sel(masks, pc_w)
                     cand_pk = _pull_add(masks, pk_w, incs)
-                    hit = (code_w == UNRES) & (p_code != UNRES)
+                    hit = (pc_w < t_unres) & (p_pc >= t_unres)
                     return (
-                        jnp.where(hit, p_code, code_w),
+                        jnp.where(hit, p_pc, pc_w),
                         jnp.where(hit, cand_pk, pk_w),
                     )
 
                 def chunk(st):
-                    code_w, pk_w, _prev, cur = st
-                    code_w, pk_w = jax.lax.fori_loop(
-                        0, PAD, sweep_k, (code_w, pk_w)
+                    pc_w, pk_w, _prev, cur = st
+                    pc_w, pk_w = jax.lax.fori_loop(
+                        0, PAD, sweep_k, (pc_w, pk_w)
                     )
                     ncur = jnp.sum(
-                        (code_w[PAD : PAD + band] == UNRES).astype(jnp.int32)
+                        (pc_w[PAD : PAD + band] < t_unres).astype(jnp.int32)
                     )
-                    return (code_w, pk_w, cur, ncur)
+                    return (pc_w, pk_w, cur, ncur)
 
                 def still_progressing(st):
                     *_, prev, cur = st
                     return cur < prev
 
-                code_ext, pk_ext, _, ncur = jax.lax.while_loop(
+                pc_ext, pk_ext, _, ncur = jax.lax.while_loop(
                     still_progressing,
                     chunk,
-                    (code_ext, pk_ext, jnp.int32(2**31 - 1), flag_ref[b]),
+                    (pc_ext, pk_ext, jnp.int32(2**31 - 1), flag_ref[b]),
                 )
-                code_ref[pl.ds(start, band), :] = code_ext[PAD : PAD + band]
+                pc_ref[pl.ds(start, band), :] = pc_ext[PAD : PAD + band]
                 pk_ref[pl.ds(start, band), :] = pk_ext[PAD : PAD + band]
                 flag_ref[b] = ncur
 
@@ -309,44 +350,62 @@ def _walk2_kernel(fdr_ref, code_ref, pk_ref, code_out, pk_out, flag_ref,
 
     def body(carry):
         _newly, t = carry
-        before = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        before = jax.lax.fori_loop(
+            0, nbands, lambda b, acc: acc + flag_ref[b], jnp.int32(0)
+        )
         t = jax.lax.fori_loop(0, CHECK // PAD, visit, t)
-        after = jnp.sum((code_ref[:, :] == UNRES).astype(jnp.int32))
+        after = jax.lax.fori_loop(
+            0, nbands, lambda b, acc: acc + flag_ref[b], jnp.int32(0)
+        )
         return (before - after, t)
 
     jax.lax.while_loop(cond, body, (jnp.int32(1), jnp.int32(0)))
-    code_out[:, :] = code_ref[:, :]
+    pc_out[:, :] = pc_ref[:, :]
     pk_out[:, :] = pk_ref[:, :]
 
 
+def _dir_index(fdr_eff):
+    """D8 code -> compact dir index (D8_CODES order, 1..8; 0 = none)."""
+    d = jnp.zeros(fdr_eff.shape, jnp.int32)
+    for k, c in enumerate(D8_CODES):
+        d = jnp.where(fdr_eff == int(c), jnp.int32(k + 1), d)
+    return d
+
+
 def _packed_flow_walk(fdr_eff, code0, max_steps, interpret):
-    """(code, packed_counts) via the 2-raster GS kernel (see section note)."""
+    """(code, packed_counts) via the 2-raster packed-code GS kernel."""
     rows, cols = fdr_eff.shape
     rp, cp = _align(rows, cols, FLOW_BAND)
-    fdr_p = _pad(jnp.asarray(fdr_eff, jnp.int32), rp, cp, 0)
-    code_p = _pad(jnp.asarray(code0, jnp.int32), rp, cp, -1)  # pad: inert
-    pk_p = code_p * 0
+    # pc = (code << 4) | dir; unresolved code = UNRES24; pad ring = inert
+    # resolved (code -1, dir 0 -> self-keep).
+    code_full = jnp.where(jnp.asarray(code0) == UNRES, jnp.int32(UNRES24),
+                          jnp.asarray(code0, jnp.int32))
+    pc0 = (code_full << 4) | _dir_index(jnp.asarray(fdr_eff, jnp.int32))
+    pc_p = _pad(pc0, rp, cp, jnp.int32(-1) << 4)
+    pk_p = pc_p * 0
 
-    vma = jax.typeof(code_p).vma
-    code, pk = pl.pallas_call(
+    vma = jax.typeof(pc_p).vma
+    pc, pk = pl.pallas_call(
         functools.partial(
             _walk2_kernel, max_steps=max_steps,
             nbands=rp // FLOW_BAND, band=FLOW_BAND,
         ),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
         out_shape=[
-            jax.ShapeDtypeStruct(code_p.shape, jnp.int32, vma=vma),
-            jax.ShapeDtypeStruct(code_p.shape, jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct(pc_p.shape, jnp.int32, vma=vma),
+            jax.ShapeDtypeStruct(pc_p.shape, jnp.int32, vma=vma),
         ],
-        input_output_aliases={1: 0, 2: 1},
+        input_output_aliases={0: 0, 1: 1},
         scratch_shapes=[pltpu.SMEM((rp // FLOW_BAND,), jnp.int32)],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=VMEM_BYTES),
         interpret=interpret,
-    )(fdr_p, code_p, pk_p)
+    )(pc_p, pk_p)
 
     sl = np.s_[PAD : PAD + rows, :cols]
-    return code[sl], pk[sl]
+    code = jax.lax.shift_right_arithmetic(pc[sl], 4)
+    code = jnp.where(code == UNRES24, UNRES, code)
+    return code, pk[sl]
 
 
 @functools.partial(jax.jit, static_argnames=("px", "max_steps", "interpret"))

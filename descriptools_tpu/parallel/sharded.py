@@ -450,7 +450,7 @@ def sharded_suite(
 
 def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
                          crop=True, dtypes=None, under="under",
-                         ckpt_dir=None):
+                         ckpt_dir=None, stage_hook=None):
     """Full suite with per-host shard staging: NO process ever materialises
     a global raster (mandatory at the 1e9-cell north star; SURVEY §2.10's
     from-scratch communication layer).
@@ -489,7 +489,7 @@ def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
     # The reference's river_accumulation fac.flat[0] fallback (gfi.py:141):
     # read the single corner cell from the loader, identically on each host.
     fac0 = float(np.asarray(loaders["fac"](0, 1, 0, 1)).reshape(-1)[0])
-    hook = None
+    hook = stage_hook  # caller's observer (timing/telemetry), outermost
     if ckpt_dir is not None:
         from dataclasses import asdict
 
@@ -502,7 +502,14 @@ def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
             **{k: (v if isinstance(v, (int, float, str)) else str(v))
                for k, v in asdict(cfg).items()},
         )
-        hook = _ckpt.stage_hook(ckpt_dir, mesh, manifest)
+        ck = _ckpt.stage_hook(ckpt_dir, mesh, manifest)
+        if stage_hook is None:
+            hook = ck
+        else:
+            # Compose: the caller's hook observes (times) around the
+            # checkpoint-aware inner hook.
+            def hook(name, compute, _ck=ck, _outer=stage_hook):
+                return _outer(name, lambda: _ck(name, compute))
     out = sharded_suite(
         dem, fdr, fac, river, cfg, mesh,
         downslope_halo=downslope_halo, shape=shape, fac0=fac0,

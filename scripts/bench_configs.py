@@ -76,6 +76,26 @@ def main():
     # config 3: 10k x 10k (1e8 cells) full suite, single chip
     results["config3_full_suite_10000"] = suite_time(10000, iters=2)
 
+    # config 3 derivation leg (BASELINE config 3 is "D8 flow direction +
+    # HAND"; round-4 verdict, Missing #4): derive fdr+fac from the DEM
+    # alone — steepest-descent D8 + O(log D) scatter-add accumulation —
+    # timed at the same 1e8-cell scale.
+    from descriptools_tpu.ops.terrain import derive_terrain
+
+    dem10k = synthetic_basin(10000, 10000, seed=0)[0]
+    dem10k_j = jnp.asarray(dem10k.astype(np.int32))
+
+    def derive():
+        fdr_d, fac_d = derive_terrain(dem10k_j)
+        return fac_d
+
+    t = timeit(derive, warmup=1, iters=2)
+    results["config3_derive_terrain_10000"] = dict(
+        cells=10000 * 10000, seconds=round(t, 3),
+        grid_points_per_s=round(10000 * 10000 / t, 1),
+        note="d8_flow_direction + flow_accumulation(auto max_path) from DEM",
+    )
+
     # config 4: calibration on the basin HAND (fused batch-fit, jax backend)
     data = load_example_inputs("/root/reference/Example")
     out = descriptor_suite(

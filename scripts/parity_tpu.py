@@ -156,6 +156,26 @@ def _blocked_tier_parity(cfg):
         dem_f, fdr, cfg.px, cfg.elevation_difference,
         cfg.downslope_max_steps, trunc0=tr0))
 
+    # Flag-SETTING fixture (round-4 advisor): on real terrain almost no
+    # walk STOPS at the synthetic east edge, so the compiled _OFF2 decode
+    # hit path went uncertified on-chip (tracked_trunc_flagged_cells was
+    # 0).  A gentle eastward flat-walk grid (1-unit drop every 20 columns,
+    # 5 m threshold -> ~100-step walks, all-east fdr) guarantees every
+    # cell within ~100 columns of the east edge stops ON the truncated
+    # terminal — nonzero flags, compared bitwise vs the tracked jacobi.
+    jj = np.arange(n)
+    dem_e = jnp.asarray(
+        (1000 - jj // 20).astype(np.float32) * np.ones((n, 1), np.float32)
+    )
+    fdr_e = jnp.asarray(np.full((n, n), 1, np.uint8))  # all east
+    tr0_e = trunc_cells(dem_e, fdr_e, 0, 0, n, 2 * n)
+    dn_pe, tr_pe = map(np.asarray, downslope_pallas(
+        dem_e, fdr_e, cfg.px, cfg.elevation_difference,
+        max_steps=cfg.downslope_max_steps, trunc0=tr0_e))
+    dn_xe, tr_xe = map(np.asarray, _downslope_jacobi(
+        dem_e, fdr_e, cfg.px, cfg.elevation_difference,
+        cfg.downslope_max_steps, trunc0=tr0_e))
+
     fdist_max_rel, fdist_mask_differs = _fdist_cmp(fd_p, fd_x)
     return {
         "grid": [n, n],
@@ -168,6 +188,9 @@ def _blocked_tier_parity(cfg):
             (tr_pt != tr_xt).sum()
         ),
         "tracked_trunc_flagged_cells": int(tr_pt.sum()),
+        "flagging_fixture_downslope_differing": int((dn_pe != dn_xe).sum()),
+        "flagging_fixture_flags_differing": int((tr_pe != tr_xe).sum()),
+        "flagging_fixture_flagged_cells": int(tr_pe.sum()),
         "fdist_max_rel_vs_xla_engine": fdist_max_rel,
         "fdist_nodata_set_differs": fdist_mask_differs,
         "wall_s_blocked_first_run": round(t_blk, 2),
@@ -181,10 +204,10 @@ def _sharded_pallas_1x1(cfg):
     kernel and the flow local phase exactly as the sharded path runs them
     (round-2 verdict, item 6's on-chip leg).
 
-    Runs on a 1024^2 crop of the basin: the tracked downslope kernel holds
-    8 grid-sized VMEM windows (aliasing does NOT collapse them on-chip),
-    so the full basin at 1x1 would fall back to the XLA jacobi — the crop
-    keeps the Pallas tier engaged, which we assert."""
+    Runs on a 1024^2 crop of the basin: the tracked freeze kernel holds 6
+    grid-sized VMEM windows (aliasing does NOT collapse in/out pairs
+    on-chip), so a large-enough halo-extended block would fall back to the
+    blocked tier — the crop keeps the VMEM tier engaged, which we assert."""
     import jax.numpy as jnp
     import numpy as np
 
@@ -221,6 +244,25 @@ def _sharded_pallas_1x1(cfg):
     _fdx, idx_x = flow_distance_index(
         jnp.asarray(fdr), jnp.asarray(river), cfg.px,
         max_steps=cfg.flow_max_steps)
+    # Compiled VMEM freeze kernel, flag-SETTING fixture (round-4 advisor):
+    # gentle eastward flat walks stop ON the truncated east terminal, so
+    # the frozen-Zt _OFF2 decode path runs with nonzero flags on-chip.
+    from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
+    from descriptools_tpu.ops.pallas.walk_vmem import downslope_pallas_vmem
+
+    jj = np.arange(n)
+    dem_e = jnp.asarray(
+        (1000 - jj // 20).astype(np.float32) * np.ones((n, 1), np.float32)
+    )
+    fdr_e = jnp.asarray(np.full((n, n), 1, np.uint8))
+    tr0_e = trunc_cells(dem_e, fdr_e, 0, 0, n, 2 * n)
+    dn_ve, tr_ve = map(np.asarray, downslope_pallas_vmem(
+        dem_e, fdr_e, cfg.px, cfg.elevation_difference,
+        max_steps=cfg.downslope_max_steps, trunc0=tr0_e))
+    dn_je, tr_je = map(np.asarray, _downslope_jacobi(
+        dem_e, fdr_e, cfg.px, cfg.elevation_difference,
+        cfg.downslope_max_steps, trunc0=tr0_e))
+
     return {
         "mesh": [1, 1],
         "grid": [n, n],
@@ -229,6 +271,11 @@ def _sharded_pallas_1x1(cfg):
         "indices_cells_differing_vs_xla_engine": int(
             (np.asarray(idx_s) != np.asarray(idx_x)).sum()
         ),
+        "vmem_flagging_fixture_downslope_differing": int(
+            (dn_ve != dn_je).sum()
+        ),
+        "vmem_flagging_fixture_flags_differing": int((tr_ve != tr_je).sum()),
+        "vmem_flagging_fixture_flagged_cells": int(tr_ve.sum()),
     }
 
 
@@ -268,6 +315,12 @@ def main():
         and blocked["fdist_max_rel_vs_xla_engine"] < 2e-4
         and sharded1["downslope_cells_differing_vs_xla_engine"] == 0
         and sharded1["indices_cells_differing_vs_xla_engine"] == 0
+        and blocked["flagging_fixture_downslope_differing"] == 0
+        and blocked["flagging_fixture_flags_differing"] == 0
+        and blocked["flagging_fixture_flagged_cells"] > 0
+        and sharded1["vmem_flagging_fixture_downslope_differing"] == 0
+        and sharded1["vmem_flagging_fixture_flags_differing"] == 0
+        and sharded1["vmem_flagging_fixture_flagged_cells"] > 0
     )
     result["ok"] = ok
     with open(OUT, "w") as fh:
