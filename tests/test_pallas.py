@@ -223,3 +223,40 @@ def test_flow_packed_matches_hybrid_distances_closely():
     assert np.array_equal(fd != NODATA, wfd != NODATA)
     rel = np.abs(fd[v] - wfd[v]) / np.maximum(np.abs(wfd[v]), 1.0)
     assert rel.max() < 2e-4  # the PARITY_TPU gate bound
+
+
+def test_downslope_vmem_nonmono_fallback_matches_jacobi():
+    """Adversarial uphill fdr (z INCREASES eastward) violates the freeze
+    kernel's monotone-descent precondition — the wrapper's lax.cond must
+    route to the XLA jacobi branch and stay bitwise."""
+    import jax.numpy as jnp
+
+    from descriptools_tpu.ops.downslope import _downslope_jacobi
+    from descriptools_tpu.ops.pallas.walk_vmem import downslope_pallas_vmem
+
+    rows, cols = 32, 128
+    dem = np.broadcast_to(
+        (100.0 + 0.5 * np.arange(cols)).astype(np.float32), (rows, cols)
+    ).copy()
+    fdr = np.full((rows, cols), 1, np.uint8)  # east, uphill
+    d, f = jnp.asarray(dem), jnp.asarray(fdr)
+    want = _downslope_jacobi(d, f, PX, 5.0, 200)
+    got = downslope_pallas_vmem(d, f, PX, 5.0, max_steps=200, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_bench_terrain_is_monotone_descent():
+    """The freeze kernel's fast path requires monotone descent; pin that
+    the benchmark inputs (synthetic generator) actually satisfy it, so the
+    published numbers exercise the freeze kernel, not the fallback."""
+    import jax.numpy as jnp
+
+    from descriptools_tpu.d8 import pull8
+    from descriptools_tpu.ops.downslope import _terminal_and_step
+    from descriptools_tpu.utils.synthetic import synthetic_basin
+
+    dem, fdr, _, _ = synthetic_basin(128, 160, seed=0)
+    z, terminal, _ = _terminal_and_step(dem.astype(np.float32), fdr, PX, -100)
+    fdr_eff = jnp.where(terminal, 0, jnp.asarray(fdr)).astype(jnp.int32)
+    (z_succ,) = pull8(fdr_eff, [z], [0.0])
+    assert not bool(np.asarray(z_succ > z).any())

@@ -65,6 +65,26 @@ def test_single_cell_corruption_detected(suite, key, delta, check):
     assert rep["per_check"][check] >= 1, rep["per_check"]
 
 
+def test_tiled_suite_outputs_verify_clean(tmp_path):
+    """The config-5 composition in miniature: loader-fed out-of-core suite
+    -> memmap outputs -> the streaming verifier passes every cell."""
+    from descriptools_tpu.tiled import tiled_suite
+    from descriptools_tpu.utils.synthetic import windowed_basin
+
+    rows, cols = 96, 112
+    loaders = windowed_basin(rows, cols, seed=13)
+    out = tiled_suite(
+        loaders, (rows, cols), CFG, tile_rows=48, tile_cols=32,
+        out_dir=str(tmp_path), host_slope_rad=True, upload_in_prefetch=True,
+    )
+    rep = streaming_flow_invariants(
+        loaders, out, (rows, cols), CFG.px, CFG.flow_max_steps,
+        tile_rows=40, tile_cols=48,
+    )
+    assert rep["ok"], rep
+    assert rep["cells_checked"] == rows * cols
+
+
 def test_corrupt_river_target_detected(suite):
     """Pointing a landed cell's index at a non-river cell must be caught."""
     loaders, out, shape = suite
