@@ -104,36 +104,34 @@ def _window_dma(refs, scratches, sems, by, bx, wh, ww):
 
 
 # ---------------------------------------------------------------------------
-# Downslope kernel: carries the lookahead tables (D, Zt) on the window and
-# freezes (res_d, res_z) on the interior at each cell's first threshold hit.
-# res_d == 0 doubles as the not-yet-stopped flag: every non-terminal hit has
-# res_d >= stepd > 0, and terminal-start cells harmlessly re-write res_z = z.
+# Downslope kernel — blocked FREEZE-AT-HIT tier (the walk_vmem freeze
+# design at HBM scale): per-cell state is only (pk, Zt); a cell whose Zt
+# crossed its own threshold is FROZEN and stops advancing, so the frozen
+# pair IS the first-hit record and the wrapper reconstructs the ratio (and
+# the trunc flag, from the Zt offset encoding) once, post-pass.  No result
+# rasters, no trunc raster, no in-sweep decode.  Exact under monotone
+# descent (the wrapper lax.cond-falls back to the XLA jacobi otherwise) —
+# the same argument as walk_vmem._downslope_kernel; the H-halo staleness
+# bound is unchanged because freezing is a local function of each cell's
+# own state.
 # ---------------------------------------------------------------------------
 
 
-def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
-                      thresh_ref, resd_in, resz_in, *rest,
-                      px, h, max_steps, track=False):
-    if track:
-        (rest_in, d_out, zt_out, resd_out, resz_out, rest_out,
-         w_fdr, w_d, w_zt, sems) = rest
-    else:
-        rest_in = rest_out = None
-        (d_out, zt_out, resd_out, resz_out,
-         w_fdr, w_d, w_zt, sems) = rest
+def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm, thresh_hbm,
+                      d_out, zt_out, w_fdr, w_d, w_zt, w_th, sems,
+                      *, h, max_steps):
     by = pl.program_id(0)
     bx = pl.program_id(1)
     wh, ww = BH + 2 * h, BW + 2 * h
-    # Per-block skip flags (computed by the wrapper): unfrozen-cell counts
-    # under monotone-z inputs, unsaturated-lookahead counts otherwise —
-    # the same two regimes, with the same exactness argument, as the
-    # VMEM-resident kernel's band flags (walk_vmem._downslope_kernel).
+    # Per-block skip flags (computed by the wrapper): unfrozen-cell counts.
+    # Frozen cells never change, so an all-frozen block is at its fixed
+    # point and copy-through is exact.
     active = flag_ref[by, bx] > 0
 
     @pl.when(active)
     def _():
-        _window_dma([fdr_hbm, d_hbm, zt_hbm],
-                    [w_fdr, w_d, w_zt], sems, by, bx, wh, ww)
+        _window_dma([fdr_hbm, d_hbm, zt_hbm, thresh_hbm],
+                    [w_fdr, w_d, w_zt, w_th], sems, by, bx, wh, ww)
 
         fdr_w = w_fdr[:, :]
         masks = [fdr_w == code for code in D8_CODES]
@@ -147,87 +145,45 @@ def _downslope_kernel(t_ref, flag_ref, fdr_hbm, d_hbm, zt_hbm,
             fdr_w == 0, jnp.int32(0),
             jnp.where(diag, jnp.int32(1 << 16), jnp.int32(1)),
         )
-        thresh = thresh_ref[:, :]
+        th_w = w_th[:, :]
         t0 = t_ref[0, 0]
 
         def sweep(k, carry):
-            D, Zt, res_d, res_z, res_t = carry
-            gate = (t0 + k) < max_steps
+            D, Zt = carry
+            adv = ((t0 + k) < max_steps) & (Zt > th_w)
             pD = _pull(masks, D)
             pZt = _pull(masks, Zt)
-            D = jnp.where(gate, inc_w + pD, D)
-            Zt = jnp.where(gate, pZt, Zt)
-            D_i = D[h : h + BH, h : h + BW]
-            Zt_i = Zt[h : h + BH, h : h + BW]
-            hit = gate & (res_d == 0) & (Zt_i <= thresh)
-            z_at = jnp.where(Zt_i < -_HALF, Zt_i + _OFF, Zt_i)
-            if track:
-                # Decode the double terminal offset (truncated terminal)
-                # and flag first-hit stops that landed on one; threshold
-                # stops (Zt un-offset) are exact.
-                z_at = jnp.where(
-                    Zt_i < jnp.float32(-_T3), Zt_i + jnp.float32(_OFF2), z_at
-                )
-                res_t = jnp.where(
-                    hit & (Zt_i < jnp.float32(-_T3)), jnp.int32(1), res_t
-                )
-            res_d = jnp.where(hit, D_i, res_d)
-            res_z = jnp.where(hit, z_at, res_z)
-            return (D, Zt, res_d, res_z, res_t)
+            return (
+                jnp.where(adv, inc_w + pD, D),
+                jnp.where(adv, pZt, Zt),
+            )
 
-        rt0 = rest_in[:, :] if track else jnp.int32(0)
-        D, Zt, res_d, res_z, res_t = jax.lax.fori_loop(
-            0, h, sweep,
-            (w_d[:, :], w_zt[:, :], resd_in[:, :], resz_in[:, :], rt0),
-        )
+        D, Zt = jax.lax.fori_loop(0, h, sweep, (w_d[:, :], w_zt[:, :]))
         d_out[:, :] = D[h : h + BH, h : h + BW]
         zt_out[:, :] = Zt[h : h + BH, h : h + BW]
-        resd_out[:, :] = res_d
-        resz_out[:, :] = res_z
-        if track:
-            rest_out[:, :] = res_t
 
     @pl.when(~active)
     def _():
         _copy_through([d_hbm, zt_hbm], [d_out, zt_out], [w_d, w_zt],
                       sems, by, bx, h)
-        resd_out[:, :] = resd_in[:, :]
-        resz_out[:, :] = resz_in[:, :]
-        if track:
-            rest_out[:, :] = rest_in[:, :]
 
 
 def _interior_spec():
     return pl.BlockSpec((BH, BW), lambda by, bx: (by, bx), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("px", "h", "max_steps", "interpret"))
-def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
-                      px, h, max_steps, interpret=False, res_t=None):
-    """One pallas call = h sweeps.  Padded window inputs, interior outputs.
-    (stepd is derived in-kernel from the fdr window — no stepd DMA.)
-
-    With ``res_t`` (int32 truncation flags) the tracked kernel variant runs
-    and a fifth (rp, cp) output carries the updated flags."""
-    track = res_t is not None
-    rp, cp = thresh.shape
+@functools.partial(jax.jit, static_argnames=("h", "max_steps", "interpret"))
+def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh_p,
+                      h, max_steps, interpret=False):
+    """One pallas call = h sweeps of the freeze kernel.  Padded window
+    inputs, interior (pk, Zt) outputs."""
+    rp = d_p.shape[0] - 2 * h
+    cp = d_p.shape[1] - 2 * h
     grid = (rp // BH, cp // BW)
     win = (BH + 2 * h, BW + 2 * h)
-    vma = jax.typeof(thresh).vma  # shard_map callers: outputs inherit axes
-    out_shape = [
-        jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),  # packed counts
-        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),  # Zt
-        jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),  # res packed
-        jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),  # res z
-    ]
-    inputs = [t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z]
-    if track:
-        inputs.append(res_t)
-        out_shape.append(jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma))
+    vma = jax.typeof(d_p).vma  # shard_map callers: outputs inherit axes
     return pl.pallas_call(
-        functools.partial(
-            _downslope_kernel, px=px, h=h, max_steps=max_steps, track=track
-        ),
+        functools.partial(_downslope_kernel, h=h, max_steps=max_steps),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1), lambda by, bx: (0, 0), memory_space=pltpu.SMEM),
@@ -235,23 +191,25 @@ def _downslope_sweeps(t, flags, fdr_p, d_p, zt_p, thresh, res_d, res_z,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            _interior_spec(),
-            _interior_spec(),
-            _interior_spec(),
-        ] + ([_interior_spec()] if track else []),
-        out_specs=[_interior_spec()] * (5 if track else 4),
-        out_shape=out_shape,
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[_interior_spec()] * 2,
+        out_shape=[
+            jax.ShapeDtypeStruct((rp, cp), jnp.int32, vma=vma),  # packed pk
+            jax.ShapeDtypeStruct((rp, cp), jnp.float32, vma=vma),  # Zt
+        ],
         scratch_shapes=[
             pltpu.VMEM(win, jnp.int32),
             pltpu.VMEM(win, jnp.int32),  # packed-count window
             pltpu.VMEM(win, jnp.float32),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM(win, jnp.float32),  # threshold window
+            pltpu.SemaphoreType.DMA((4,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024
         ),
         interpret=interpret,
-    )(*inputs)
+    )(t, flags, fdr_p, d_p, zt_p, thresh_p)
 
 
 def _pad_block(arr, h, rp, cp, fill):
@@ -274,10 +232,12 @@ def _block_dims(rows, cols):
 )
 def downslope_pallas(dem, fdr, px, elevation_difference,
                      max_steps=5000, h=H_SWEEPS, interpret=False, trunc0=None):
-    """Downslope index via the multi-sweep walk kernel.
+    """Downslope index via the multi-sweep freeze walk kernel.
 
-    Bit-identical to ops.downslope._downslope_jacobi (same pull order, same
-    f32 accumulation order, same cap semantics — downslope.py:434-532 spec).
+    Bit-identical to ops.downslope._downslope_jacobi (same pull order,
+    identical packed step counts and the one shared f32 reconstruction via
+    ops.downslope.unpack_dist, same cap semantics — downslope.py:434-532
+    spec).
 
     With ``trunc0`` (per-cell bool from ops.downslope.trunc_cells) also
     returns an int32->bool raster flagging cells whose stop landed on a
@@ -288,7 +248,11 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     Pallas engine instead of falling back to the XLA jacobi.
     """
     from descriptools_tpu.d8 import pull8
-    from descriptools_tpu.ops.downslope import _terminal_and_step
+    from descriptools_tpu.ops.downslope import (
+        _downslope_jacobi,
+        _terminal_and_step,
+        unpack_dist,
+    )
 
     track = trunc0 is not None
     rows, cols = dem.shape
@@ -304,8 +268,8 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
         )
     else:
         zt0 = jnp.where(terminal, z - _OFF, z)
-    # Monotone-descent probe selecting the aggressive block-skip rule
-    # (see walk_vmem.downslope_pallas_vmem).
+    # Monotone-descent probe gating the freeze kernel (walk_vmem note);
+    # adversarial non-monotone inputs take the XLA jacobi branch.
     (z_succ,) = pull8(fdr_eff, [z], [0.0])
     mono = jnp.all(z_succ <= z)
 
@@ -315,75 +279,64 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
             return base
         return jnp.where(Zt < jnp.float32(-_T3), Zt + jnp.float32(_OFF2), base)
 
-    rp, cp = _block_dims(rows, cols)
-    nby, nbx = rp // BH, cp // BW
-    fdr_p = _pad_block(fdr_eff, h, rp, cp, 0)
-    thresh = _pad_block(thresh0, h, rp, cp, 0.0)[h:-h, h:-h]
-    live0 = _pad_block(~terminal, h, rp, cp, False)[h:-h, h:-h]
+    def run_freeze(_):
+        rp, cp = _block_dims(rows, cols)
+        nby, nbx = rp // BH, cp // BW
+        fdr_p = _pad_block(fdr_eff, h, rp, cp, 0)
+        # Pad ring: frozen by construction (zt pad -_OFF <= thresh pad 0).
+        thresh_p = _pad_block(thresh0, h, rp, cp, 0.0)
+        thresh_i = thresh_p[h:-h, h:-h]
+        d0 = jnp.zeros((rp, cp), jnp.int32)  # packed step counts
+        zt = _pad_block(zt0, h, rp, cp, -_OFF)[h:-h, h:-h]
 
-    d0 = jnp.zeros((rp, cp), jnp.int32)  # packed step counts
-    # Padding saturates (terminal-encoded) so padded blocks go quiescent.
-    zt = _pad_block(zt0, h, rp, cp, -_OFF)[h:-h, h:-h]
-    res_d = jnp.zeros((rp, cp), jnp.int32)  # packed counts at the stop
-    res_z = _pad_block(z, h, rp, cp, 0.0)[h:-h, h:-h]
-    if track:
-        # Stopped-at-start cells carry their own flag (jacobi's res_t0).
-        res_t = _pad_block(
-            trunc_t.astype(jnp.int32), h, rp, cp, 0
-        )[h:-h, h:-h]
-    else:
-        res_t = None
+        def _blk(mask2d):
+            return jnp.sum(
+                mask2d.reshape(nby, BH, nbx, BW).astype(jnp.int32),
+                axis=(1, 3),
+            )
 
-    def _blk(mask2d):
-        return jnp.sum(
-            mask2d.reshape(nby, BH, nbx, BW).astype(jnp.int32), axis=(1, 3)
+        def cond(carry):
+            _d, Zt, t = carry
+            return jnp.any(Zt > thresh_i) & (t < max_steps)
+
+        def body(carry):
+            D, Zt, t = carry
+            flags = _blk(Zt > thresh_i)
+            D, Zt = _downslope_sweeps(
+                jnp.full((1, 1), t, jnp.int32), flags, fdr_p,
+                jnp.pad(D, h), jnp.pad(Zt, h), thresh_p,
+                h, max_steps, interpret=interpret,
+            )
+            return (D, Zt, t + h)
+
+        D, Zt, _t = jax.lax.while_loop(
+            cond, body, (d0, zt, jnp.array(0, jnp.int32))
         )
 
-    def cond(carry):
-        res_d, _rz, _rt, _d, _zt, t = carry
-        return jnp.any((res_d == 0) & live0) & (t < max_steps)
-
-    def body(carry):
-        res_d, res_z, res_t, D, Zt, t = carry
-        flags = jnp.where(
-            mono, _blk((res_d == 0) & live0), _blk(Zt >= -_HALF)
+        # Post-pass reconstruction — frozen cells hold the first-hit
+        # record; unfrozen (capped) cells hold the horizon partial
+        # (downslope.py:303 semantics); identical operands to the jacobi
+        # engine via unpack_dist.
+        pk = D[:rows, :cols]
+        Zt = Zt[:rows, :cols]
+        res = jnp.where(
+            pk == 0, 0.0, (z - _decode(Zt)) / unpack_dist(pk, px)
         )
-        d_p = jnp.pad(D, h)
-        zt_p = jnp.pad(Zt, h)
-        out = _downslope_sweeps(
-            jnp.full((1, 1), t, jnp.int32), flags, fdr_p, d_p, zt_p,
-            thresh, res_d, res_z, px, h, max_steps, interpret=interpret,
-            res_t=res_t,
-        )
+        res = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), res)
         if track:
-            D, Zt, res_d, res_z, res_t = out
-        else:
-            D, Zt, res_d, res_z = out
-        return (res_d, res_z, res_t, D, Zt, t + h)
+            # Cap stops (unfrozen) are never flagged — same rule as
+            # jacobi's ``res_t & stopped``.
+            frozen = Zt <= thresh0
+            return res, frozen & (Zt < jnp.float32(-_T3))
+        return res
 
-    res_d, res_z, res_t, D, Zt, _t = jax.lax.while_loop(
-        cond, body,
-        (res_d, res_z, res_t, d0, zt, jnp.array(0, jnp.int32)),
-    )
+    def run_jacobi(_):
+        return _downslope_jacobi(
+            dem, fdr, px, elevation_difference, max_steps,
+            trunc0=trunc0 if track else None,
+        )
 
-    # Cap: unstopped cells take the partial at the horizon (downslope.py:303).
-    # Cap stops are never truncation-flagged (jacobi's ``res_t & stopped``).
-    unstopped = (res_d == 0) & live0
-    res_d = jnp.where(unstopped, D, res_d)
-    res_z = jnp.where(unstopped, _decode(Zt), res_z)
-
-    res_d = res_d[:rows, :cols]
-    res_z = res_z[:rows, :cols]
-    from descriptools_tpu.ops.downslope import unpack_dist
-
-    out = jnp.where(
-        res_d == 0, 0.0, (z - res_z) / unpack_dist(res_d, px)
-    )
-    out = jnp.where(z == jnp.float32(NODATA), jnp.float32(NODATA), out)
-    if track:
-        trc = jnp.where(unstopped, 0, res_t)[:rows, :cols]
-        return out, trc.astype(jnp.bool_)
-    return out
+    return jax.lax.cond(mono, run_freeze, run_jacobi, None)
 
 
 # ---------------------------------------------------------------------------
