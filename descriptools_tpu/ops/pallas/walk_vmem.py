@@ -23,14 +23,18 @@ Jacobi while temporaries stay band-sized and window assembly / masks /
 writes amortise PAD-fold.  Per-band quiescence flags (SMEM) skip bands at
 their fixed point, so long-tail convergence only pays for active bands.
 
-State-diet tricks relative to the blocked kernels:
-- no ``stepd`` raster: the per-cell step length is a per-direction constant
-  (px or px*sqrt2, slope.py:255) fused into the pull select-chain as a
-  constant add (same f32 operands, same add -> bitwise identical).
-- downslope carries a single ``res`` raster (the final ratio, NaN = still
-  walking) instead of (res_d, res_z): the ratio (z - z_at)/D is computed at
-  the freeze point with exactly the operands the XLA engine uses at the end
-  (ops/downslope.py `_downslope_jacobi`), so results stay bit-identical.
+State-diet tricks (the sweeps are VMEM-band-traffic-bound, so every raster
+removed is a direct win):
+- no ``stepd`` raster: per-direction step increments are constants fused
+  into the pull select-chain (packed integer counts, reconstructed to the
+  reference's f32 distance ONCE post-pass via ops.downslope.unpack_dist —
+  identical expression in every engine, so results stay bit-identical).
+- downslope carries NO result raster at all: frozen cells (Zt at or below
+  their own threshold) stop advancing, so the frozen (pk, Zt) pair IS the
+  first-hit record, decoded post-pass — including the sharded truncation
+  flag, which rides the Zt offset encoding (see the downslope section).
+- flow carries NO fdr raster: each cell's D8 direction lives in the code
+  raster's low 4 bits (see the flow section's UNRES24 encoding).
 
 Wraparound note: pltpu.roll is circular, but a wrapped read can only be
 *selected* by a cell whose fdr points off-grid, and every such cell is
