@@ -58,6 +58,14 @@ def test_kill_after_flow_then_resume(tmp_path, resume_procs):
     # Phase 1: 2 processes, both really killed right after the 'flow'
     # stage checkpoint lands.
     res = _launch(2, ckpt_dir, "flow")
+    if not all(rc == 17 for rc, _ in res):
+        # One retry: on the 2-core host under full-suite load, the
+        # 2-process distributed init can time out before the kill point
+        # (observed once); a genuine failure reproduces.
+        import shutil
+
+        shutil.rmtree(ckpt_dir, ignore_errors=True)
+        res = _launch(2, ckpt_dir, "flow")
     assert all(rc == 17 for rc, _ in res), res
     assert os.path.exists(os.path.join(ckpt_dir, "flow.DONE"))
     assert not os.path.exists(os.path.join(ckpt_dir, "downslope.DONE"))
