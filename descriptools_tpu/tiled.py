@@ -217,7 +217,8 @@ def _array_loader(a):
 def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                 out_dir=None, downslope_halo=64, engine="auto",
                 interpret=False, progress=None, cache_inputs=True,
-                stats=None, host_slope_rad=False, upload_in_prefetch=False):
+                stats=None, host_slope_rad=False, upload_in_prefetch=False,
+                host_pointwise=False):
     """Full descriptor suite, out of core, fed by windowed loaders.
 
     ``loaders``: {'dem','fdr','river','fac'} -> ``f(ys, ye, xs, xe) -> array``
@@ -261,6 +262,13 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
       ``upload_in_prefetch=True`` moves jax.device_put onto the prefetch
       worker thread, so tile t+1's upload runs concurrently with tile t-1's
       download on a full-duplex link.
+      ``host_pointwise=True`` drops twi / mod_twi / gfi / ln_hl_h from the
+      downloads and recomputes them on the writer thread (the SAME jnp ops
+      jitted on the host CPU backend), downloading the 4 B/cell river_fac
+      instead — net -12 B/cell, ~35 % of the download footprint.  The four
+      rasters are pointwise transcendentals of already-present data, so the
+      host keeps up easily; values match the device's to XLA:CPU-vs-TPU
+      transcendental ulps (the float64 oracle checks are unaffected).
     """
     from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
     from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
@@ -544,6 +552,12 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             # sl_rad still feeds TWI on device; only the exported raster is
             # recomputed host-side (download diet, module docstring).
             del res["slope_rad"]
+        if host_pointwise:
+            # The writer thread recomputes these from river_fac + local
+            # windows (download diet, module docstring).
+            for k in ("twi", "mod_twi", "gfi", "ln_hl_h"):
+                del res[k]
+            res["river_fac"] = river_fac
         return res, trunc_any
 
     @partial(jax.jit, static_argnames=("halo", "eng"))
@@ -590,7 +604,8 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             halo=halo0, eng=_walk_eng(halo0),
         )
 
-    # Output writes (34 B/cell to disk memmaps, ~30 s/tile at the measured
+    # Output writes (down to 22 B/cell of downloads with both diet knobs;
+    # all 38 B/cell still land on disk, ~30 s/tile at the measured
     # ~76 MB/s disk-write rate) ride a dedicated writer thread so they
     # overlap the NEXT tile's relay download on the main thread — numpy
     # releases the GIL; tiles write disjoint regions.  At most one write
@@ -599,6 +614,22 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
 
     writer = ThreadPoolExecutor(1)
     pending_writes = []
+
+    if host_pointwise:
+        # The exact jnp ops, jitted for the host CPU backend — the writer
+        # thread evaluates them while the main thread talks to the device.
+        _cpu0 = jax.devices("cpu")[0]
+
+        @jax.jit
+        def _host_pw(fac_t, sl_rad_t, hand_t, rfac_t):
+            return (
+                topographic_index(fac_t, sl_rad_t, cfg.px),
+                modified_topographic_index(
+                    fac_t, sl_rad_t, cfg.px, cfg.n_topo
+                ),
+                _gfi(hand_t, rfac_t, cfg.n_gfi, cfg.b_gfi, cfg.px),
+                _ln_hl_h(hand_t, fac_t, cfg.n_gfi, cfg.b_gfi, cfg.px),
+            )
 
     def _finish_suite(tag, dev):
         iy, ix, ys, xs = tag
@@ -641,10 +672,26 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                     cached["dem"], ys, ye, xs, xe, shape, NODATA, dem_dt
                 )
                 sl = res["slope"][cut]
-                out["slope_rad"][sl_out] = np.where(
+                srad = np.where(
                     dem_t == NODATA, np.float32(NODATA),
                     np.arctan(sl / np.float32(100.0), dtype=np.float32),
                 )
+                out["slope_rad"][sl_out] = srad
+            else:
+                srad = res["slope_rad"][cut]
+            if host_pointwise:
+                fac_t = load_window(
+                    cached["fac"], ys, ye, xs, xe, shape, NODATA, np.int32
+                )
+                with jax.default_device(_cpu0):
+                    twi, mtwi, gf, lh = _host_pw(
+                        fac_t, srad, res["hand"][cut],
+                        res["river_fac"][cut],
+                    )
+                out["twi"][sl_out] = np.asarray(twi)
+                out["mod_twi"][sl_out] = np.asarray(mtwi)
+                out["gfi"][sl_out] = np.asarray(gf)
+                out["ln_hl_h"][sl_out] = np.asarray(lh)
             note("suite", iy * nx + ix, ny * nx)
 
         while len(pending_writes) > 1:

@@ -249,6 +249,9 @@ def main():
                     help="disable the duplex upload/download overlap")
     ap.add_argument("--no-host-slope-rad", action="store_true",
                     help="download slope_rad instead of host recompute")
+    ap.add_argument("--no-host-pointwise", action="store_true",
+                    help="download twi/mod_twi/gfi/ln_hl_h instead of "
+                         "recomputing them on the writer thread")
     ap.add_argument("--skip-verify", action="store_true",
                     help="skip the full-coverage streaming invariant pass")
     args = ap.parse_args()
@@ -290,6 +293,7 @@ def main():
         stats=suite_stats,
         host_slope_rad=not args.no_host_slope_rad,
         upload_in_prefetch=not args.no_upload_in_prefetch,
+        host_pointwise=not args.no_host_pointwise,
     )
     wall = time.time() - t0
     print(f"suite wall {wall:.1f}s  {cells / wall / 1e6:.2f} Mgp/s", flush=True)
@@ -362,8 +366,14 @@ def main():
         up_mbps = down_mbps = None
     halo_f = (1 + 2 * 64 / args.tile) ** 2
     up_bytes = cells * 2 + cells * 8 * halo_f  # ring pass + suite pass
-    # Outputs: 7 f32 + 1 i32 + 1 i16 (+ 1 f32 slope_rad unless host-side).
-    out_bpc = 34 if not args.no_host_slope_rad else 38
+    # Downloads: 38 B/cell baseline (8 f32 + 1 i32 + 1 i16); -4 for
+    # host-side slope_rad; -12 for host-side pointwise (drops 4 f32
+    # rasters, adds the 4 B/cell river_fac).
+    out_bpc = 38
+    if not args.no_host_slope_rad:
+        out_bpc -= 4
+    if not args.no_host_pointwise:
+        out_bpc -= 12
     down_bytes = cells * out_bpc
     relay = {
         "measured_up_MBps": up_mbps,
@@ -404,6 +414,7 @@ def main():
         "phase_seconds": {k: round(v, 1) for k, v in phase_t.items()},
         "suite_stats": suite_stats,
         "host_slope_rad": not args.no_host_slope_rad,
+        "host_pointwise": not args.no_host_pointwise,
         "upload_in_prefetch": not args.no_upload_in_prefetch,
         "relay_bound": relay,
         "checks": checks,
