@@ -303,17 +303,24 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             for ix in range(nx):
                 yield iy, ix, iy * h, ix * w
 
-    def _prefetched(thunks):
+    def _prefetched(thunks, wait_key=None):
         """One-ahead prefetch on a worker thread: host-side window reads
         overlap the device compute + relay transfers of the previous tile
-        (both release the GIL)."""
+        (both release the GIL).  ``wait_key`` accumulates the main thread's
+        blocked-on-prefetch seconds into ``stats`` (observability)."""
+        import time as _time
         from concurrent.futures import ThreadPoolExecutor
 
         thunks = list(thunks)
         with ThreadPoolExecutor(1) as ex:
             fut = ex.submit(thunks[0]) if thunks else None
             for i in range(len(thunks)):
+                t0 = _time.perf_counter()
                 res = fut.result()
+                if stats is not None and wait_key:
+                    stats[wait_key] = stats.get(wait_key, 0.0) + (
+                        _time.perf_counter() - t0
+                    )
                 fut = ex.submit(thunks[i + 1]) if i + 1 < len(thunks) else None
                 yield res
 
@@ -631,9 +638,19 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                 _ln_hl_h(hand_t, fac_t, cfg.n_gfi, cfg.b_gfi, cfg.px),
             )
 
+    def _acc(key, t0):
+        if stats is not None:
+            import time as _time
+
+            stats[key] = stats.get(key, 0.0) + (_time.perf_counter() - t0)
+
     def _finish_suite(tag, dev):
+        import time as _time
+
         iy, ix, ys, xs = tag
+        t0 = _time.perf_counter()
         res, trunc = jax.device_get(dev)
+        _acc("suite_device_get_s", t0)
         halo = halo0
         while bool(trunc) and halo < max(R, C):
             # Rare truncation retry: rerun THIS tile's downslope
@@ -694,15 +711,18 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                 out["ln_hl_h"][sl_out] = np.asarray(lh)
             note("suite", iy * nx + ix, ny * nx)
 
+        t0 = _time.perf_counter()
         while len(pending_writes) > 1:
             pending_writes.pop(0).result()
+        _acc("suite_write_wait_s", t0)
         pending_writes.append(writer.submit(write))
 
     try:
         _overlapped(
             _prefetched(
-                partial(_suite_inputs, iy, ix, ys, xs)
-                for iy, ix, ys, xs in tile_windows()
+                (partial(_suite_inputs, iy, ix, ys, xs)
+                 for iy, ix, ys, xs in tile_windows()),
+                wait_key="suite_prefetch_wait_s",
             ),
             _dispatch_suite,
             _finish_suite,
