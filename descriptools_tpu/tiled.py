@@ -214,11 +214,30 @@ def _array_loader(a):
     return lambda ys, ye, xs, xe: a[ys:ye, xs:xe]
 
 
+def _host_slope_from_padded(padded, px):
+    """Numpy mirror of ops.slope.slope_from_padded — identical IEEE f32
+    subtract/divide/compare sequence, so the host raster is BITWISE the
+    device's (no transcendentals involved)."""
+    from descriptools_tpu.constants import D8_DX, D8_DY, D8_STEP
+
+    rows, cols = padded.shape[0] - 2, padded.shape[1] - 2
+    dem = padded[1:-1, 1:-1]
+    nd = np.float32(NODATA)
+    best = np.zeros((rows, cols), np.float32)
+    for dy, dx, step in zip(D8_DY, D8_DX, D8_STEP):
+        nbr = padded[1 + dy : 1 + dy + rows, 1 + dx : 1 + dx + cols]
+        grad = (dem - nbr) / np.float32(px * float(step))
+        best = np.where((nbr != nd) & (grad > best), grad, best)
+    return np.where(
+        dem == nd, nd, (best * np.float32(100.0)).astype(np.float32)
+    ).astype(np.float32)
+
+
 def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
                 out_dir=None, downslope_halo=64, engine="auto",
                 interpret=False, progress=None, cache_inputs=True,
                 stats=None, host_slope_rad=False, upload_in_prefetch=False,
-                host_pointwise=False):
+                host_pointwise=False, host_slope=False):
     """Full descriptor suite, out of core, fed by windowed loaders.
 
     ``loaders``: {'dem','fdr','river','fac'} -> ``f(ys, ye, xs, xe) -> array``
@@ -269,6 +288,10 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
       rasters are pointwise transcendentals of already-present data, so the
       host keeps up easily; values match the device's to XLA:CPU-vs-TPU
       transcendental ulps (the float64 oracle checks are unaffected).
+      ``host_slope=True`` drops slope too (-4 B/cell): the 8-neighbour
+      stencil is recomputed from the cached dem window with the identical
+      IEEE f32 op sequence — BITWISE the device raster
+      (_host_slope_from_padded).
     """
     from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
     from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
@@ -565,6 +588,8 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             for k in ("twi", "mod_twi", "gfi", "ln_hl_h"):
                 del res[k]
             res["river_fac"] = river_fac
+        if host_slope:
+            del res["slope"]  # writer recomputes it bitwise from dem
         return res, trunc_any
 
     @partial(jax.jit, static_argnames=("halo", "eng"))
@@ -684,11 +709,22 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
             for k in out:
                 if k != "indices" and k in res:
                     out[k][sl_out] = res[k][cut]
-            if host_slope_rad:
-                dem_t = load_window(
-                    cached["dem"], ys, ye, xs, xe, shape, NODATA, dem_dt
-                )
+            if host_slope:
+                dem_p = load_window(
+                    cached["dem"], ys, ye, xs, xe, shape, NODATA, dem_dt,
+                    halo=1,
+                ).astype(np.float32)
+                sl = _host_slope_from_padded(dem_p, cfg.px)
+                out["slope"][sl_out] = sl
+                dem_t = dem_p[1:-1, 1:-1]
+            else:
                 sl = res["slope"][cut]
+                dem_t = None
+            if host_slope_rad:
+                if dem_t is None:
+                    dem_t = load_window(
+                        cached["dem"], ys, ye, xs, xe, shape, NODATA, dem_dt
+                    )
                 srad = np.where(
                     dem_t == NODATA, np.float32(NODATA),
                     np.arctan(sl / np.float32(100.0), dtype=np.float32),

@@ -252,6 +252,9 @@ def main():
     ap.add_argument("--no-host-pointwise", action="store_true",
                     help="download twi/mod_twi/gfi/ln_hl_h instead of "
                          "recomputing them on the writer thread")
+    ap.add_argument("--no-host-slope", action="store_true",
+                    help="download the slope raster instead of the "
+                         "bitwise host stencil recompute")
     ap.add_argument("--skip-verify", action="store_true",
                     help="skip the full-coverage streaming invariant pass")
     args = ap.parse_args()
@@ -294,6 +297,7 @@ def main():
         host_slope_rad=not args.no_host_slope_rad,
         upload_in_prefetch=not args.no_upload_in_prefetch,
         host_pointwise=not args.no_host_pointwise,
+        host_slope=not args.no_host_slope,
     )
     wall = time.time() - t0
     print(f"suite wall {wall:.1f}s  {cells / wall / 1e6:.2f} Mgp/s", flush=True)
@@ -374,6 +378,8 @@ def main():
         out_bpc -= 4
     if not args.no_host_pointwise:
         out_bpc -= 12
+    if not args.no_host_slope:
+        out_bpc -= 4
     down_bytes = cells * out_bpc
     relay = {
         "measured_up_MBps": up_mbps,
@@ -415,6 +421,7 @@ def main():
         "suite_stats": suite_stats,
         "host_slope_rad": not args.no_host_slope_rad,
         "host_pointwise": not args.no_host_pointwise,
+        "host_slope": not args.no_host_slope,
         "upload_in_prefetch": not args.no_upload_in_prefetch,
         "relay_bound": relay,
         "checks": checks,

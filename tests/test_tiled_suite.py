@@ -150,8 +150,8 @@ def test_tiled_suite_link_diet_knobs_match():
     got = tiled_suite(
         array_loaders(dem, fdr, river, fac), (75, 83), CFG,
         tile_rows=32, tile_cols=28, host_slope_rad=True,
-        upload_in_prefetch=True, host_pointwise=True, cache_inputs=False,
-        stats=stats,
+        upload_in_prefetch=True, host_pointwise=True, host_slope=True,
+        cache_inputs=False, stats=stats,
     )
     want = descriptor_suite(dem, fdr, fac, river, CFG)
     _assert_suite_matches(got, want)
