@@ -17,10 +17,13 @@ not the framework):
      fdist/indices vs float64 oracles on halo-extended windows.
   3. streaming one-pass histogram calibration + classification.
 
-The wall is RELAY-BOUND: this link moves ~30 MB/s each way (measured,
-artifacts/probe_relay.json) and the suite must move ~48 B/cell (2 B/cell
-ring-pass upload + ~8 B/cell input upload + 38 B/cell of output downloads),
-so the link alone bounds throughput; the artifact reports the bound and the
+The wall is DOWNLOAD-BOUND: the (full-duplex, probe_duplex.py) relay moves
+~30 MB/s per direction, uploads (2 B/cell ring pass + ~8.5 B/cell halo'd
+inputs) ride the prefetch thread, disk writes and the host-side recomputes
+(slope bitwise, slope_rad, the four pointwise rasters) ride the writer
+thread, and the main thread is ~pure device_get of the 18 B/cell walk
+products (fdist, indices, hand, river_fac, downslope — suite_stats records
+the per-lane seconds).  The artifact reports duplex-aware bounds and the
 fraction achieved.
 
 Writes CONFIG5_1E9.json at the repo root with provenance + gp/s, and
