@@ -332,7 +332,10 @@ def _walk2_kernel(pc_ref, pk_ref, pc_out, pk_out, flag_ref,
 
                 def still_progressing(st):
                     *_, prev, cur = st
-                    return cur < prev
+                    # cur == 0: the band fully resolved — its next visit is
+                    # flag-skipped anyway, so the trailing stall-detect
+                    # chunk (a guaranteed no-op) is pure waste here.
+                    return (cur < prev) & (cur > 0)
 
                 pc_ext, pk_ext, _, ncur = jax.lax.while_loop(
                     still_progressing,
@@ -773,7 +776,10 @@ def _walk3_kernel(fdr_ref, code_ref, dist_ref, steps_ref,
 
                 def still_progressing(st):
                     *_, prev, cur = st
-                    return cur < prev
+                    # cur == 0: the band fully resolved — its next visit is
+                    # flag-skipped anyway, so the trailing stall-detect
+                    # chunk (a guaranteed no-op) is pure waste here.
+                    return (cur < prev) & (cur > 0)
 
                 code_ext, dist_ext, steps_ext, _, ncur = jax.lax.while_loop(
                     still_progressing,
