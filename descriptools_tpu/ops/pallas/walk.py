@@ -239,6 +239,13 @@ def downslope_pallas(dem, fdr, px, elevation_difference,
     ops.downslope.unpack_dist, same cap semantics — downslope.py:434-532
     spec).
 
+    Compile-cost note: the non-monotone fallback branch traces the XLA
+    jacobi while-loop alongside the Pallas kernel (lax.cond compiles both),
+    roughly doubling first-compile time at each new shape — accepted for
+    correctness on adversarial fdr; the persistent XLA cache amortises it
+    across runs, and real hydrological inputs execute only the freeze
+    branch.
+
     With ``trunc0`` (per-cell bool from ops.downslope.trunc_cells) also
     returns an int32->bool raster flagging cells whose stop landed on a
     truncated terminal — the sharded/tiled halo-doubling retry signal,

@@ -499,6 +499,12 @@ def sharded_suite_staged(mesh, shape, loaders, cfg, downslope_halo=64,
             shape=[int(s) for s in shape],
             mesh=[int(s) for s in mesh.devices.shape],
             downslope_halo=int(downslope_halo),
+            # Stage-layout version: bumped when the stage set or each
+            # stage's raster membership changes (round 5 fused slope into
+            # 'pointwise'), so a checkpoint dir from an older layout fails
+            # the manifest check loudly instead of resuming with a
+            # silently-missing raster.
+            stage_layout="flow/downslope/pointwise+slope",
             **{k: (v if isinstance(v, (int, float, str)) else str(v))
                for k, v in asdict(cfg).items()},
         )

@@ -215,9 +215,12 @@ def _array_loader(a):
 
 
 def _host_slope_from_padded(padded, px):
-    """Numpy mirror of ops.slope.slope_from_padded — identical IEEE f32
-    subtract/divide/compare sequence, so the host raster is BITWISE the
-    device's (no transcendentals involved)."""
+    """Numpy mirror of ops.slope.slope_from_padded — the identical f32
+    subtract/divide/compare sequence.  On CPU backends the result is
+    bitwise the device's; on TPU it differs on ~12 % of basin cells by at
+    most 1 ulp (~1.3e-7 rel, measured on-chip) because XLA:TPU lowers f32
+    division to a Newton-refined reciprocal that is not IEEE correctly
+    rounded — well inside every oracle/suite tolerance."""
     from descriptools_tpu.constants import D8_DX, D8_DY, D8_STEP
 
     rows, cols = padded.shape[0] - 2, padded.shape[1] - 2
@@ -274,10 +277,13 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
     Link-bound knobs (round-4 verdict, Missing #2 — download bytes are the
     wall on a thin relay):
       ``host_slope_rad=True`` drops slope_rad from the device downloads
-      (-4 B/cell) and recomputes it on the host from the just-downloaded
-      slope + the dem window (identical formula; float ulps may differ from
-      XLA's arctan — TWI still consumes the DEVICE sl_rad, so only the
-      exported raster is affected).
+      (-4 B/cell) and recomputes it on the host from the slope raster + the
+      dem window (identical formula; float ulps may differ from XLA's
+      arctan).  The DEVICE program's twi still uses its own sl_rad — but
+      when combined with ``host_pointwise=True`` the host-recomputed twi /
+      mod_twi consume the HOST sl_rad, so those exported rasters compound
+      both host-side transcendental substitutions (oracle tolerance 1e-3
+      covers this comfortably; see CONFIG5_1E9.json window checks).
       ``upload_in_prefetch=True`` moves jax.device_put onto the prefetch
       worker thread, so tile t+1's upload runs concurrently with tile t-1's
       download on a full-duplex link.
@@ -290,8 +296,9 @@ def tiled_suite(loaders, shape, cfg, tile_rows=4096, tile_cols=4096,
       transcendental ulps (the float64 oracle checks are unaffected).
       ``host_slope=True`` drops slope too (-4 B/cell): the 8-neighbour
       stencil is recomputed from the cached dem window with the identical
-      IEEE f32 op sequence — BITWISE the device raster
-      (_host_slope_from_padded).
+      f32 op sequence — bitwise on CPU backends, <= 1 ulp apart on TPU
+      (XLA:TPU's f32 division is not IEEE correctly rounded; measured
+      on-chip — see _host_slope_from_padded).
     """
     from descriptools_tpu.ops.downslope import _downslope_jacobi, trunc_cells
     from descriptools_tpu.ops.gfi import gfi as _gfi, ln_hl_h as _ln_hl_h
@@ -827,10 +834,16 @@ def tiled_classify_flood(hand, flood_loader, shape, under="under",
     # (non-negative integer) HAND values, so wide value ranges on real
     # continental DEMs stay O(range) vector work instead of a Python
     # per-unique-value loop (round-4 verdict, Weak #6).
+    # HAND from an integer (int16-ranged) DEM is a small non-negative
+    # integer; anything else means corruption or a float DEM, and both must
+    # fail with THIS error before reaching np.bincount (which would raise a
+    # cryptic negative-element error, or allocate O(max-value) memory for a
+    # huge corrupt value — round-5 review finding).
+    _MAX_HAND = 1 << 22
+
     m1 = np.inf
     m2 = np.inf
     mx = -np.inf
-    nonint = 0
     n_fl_total = 0
     hist_valid = np.zeros(0, np.int64)
     hist_tp = np.zeros(0, np.int64)
@@ -853,19 +866,21 @@ def tiled_classify_flood(hand, flood_loader, shape, under="under",
         m2 = min(m2 if m2 != lo else np.inf, hi if hi != lo else np.inf, t2)
         mx = max(mx, float(a.max()))
         live = a[a != NODATA]
-        nonint += int((live % 1 != 0).sum()) + int((live < 0).sum())
+        if live.size and (
+            (live % 1 != 0).any() or float(live.min()) < 0
+            or float(live.max()) > _MAX_HAND
+        ):
+            raise ValueError(
+                "HAND is not non-negative-integer-valued (or exceeds "
+                f"{_MAX_HAND}); exact streaming calibration requires an "
+                "integer DEM — use pipeline.classify_flood"
+            )
         valid = (a != NODATA) & ~(probe_live & (a == h00))
         flooded = b == 1  # bench 1 -> 2 (flooded), NODATA -> 0
         n_fl_total += int(flooded.sum())
         hist_valid = _acc(hist_valid, a[valid].astype(np.int64))
         hist_tp = _acc(hist_tp, a[valid & flooded].astype(np.int64))
         note("classify-hist", t, ny * nx)
-    if nonint:
-        raise ValueError(
-            "HAND is not non-negative-integer-valued; exact streaming "
-            "calibration requires an integer DEM — use "
-            "pipeline.classify_flood"
-        )
     mn = m2  # elements[1]: smallest value distinct from the global min
     if not np.isfinite(mn) or mx <= mn:
         raise ValueError(f"degenerate HAND value range [{mn}, {mx}]")

@@ -225,6 +225,13 @@ def streaming_flow_invariants(loaders, out, shape, px, max_steps,
             bad = live & (hand[landed].astype(np.int64) != want_hand)
             if bad.any():
                 counts["hand_identity"] += int(bad.sum())
+                if len(examples) < max_examples:
+                    ly, lx = np.nonzero(landed)
+                    k0 = int(np.nonzero(bad)[0][0])
+                    examples.append(dict(
+                        check="hand_identity",
+                        y=int(ly[k0] + ys), x=int(lx[k0] + xs),
+                    ))
         note("verify", t, len(tiles))
 
     total = int(sum(counts.values()))

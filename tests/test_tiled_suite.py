@@ -311,3 +311,24 @@ def test_tiled_classify_flood_matches_host_classifier():
     assert corr_t == pytest.approx(corr_h, abs=0)
     assert fit_t == pytest.approx(fit_h, abs=0)
     np.testing.assert_array_equal(cm_t, cm_h)
+
+
+def test_tiled_classify_flood_rejects_invalid_hand_values():
+    """Corrupt HAND values (negative, fractional, or absurdly large) must
+    fail with the intended ValueError BEFORE reaching np.bincount, which
+    would otherwise raise a cryptic negative-element error or allocate
+    O(max-value) memory (round-5 review finding)."""
+    from descriptools_tpu.tiled import tiled_classify_flood
+
+    rows, cols = 64, 64
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 40, size=(rows, cols)).astype(np.float32)
+    flood = (base < 5).astype(np.int8)
+    L = lambda ys, ye, xs, xe: flood[ys:ye, xs:xe]
+
+    for bad in (-5.0, 2.5, 1e9):
+        hand = base.copy()
+        hand[10, 10] = bad
+        with pytest.raises(ValueError, match="non-negative-integer"):
+            tiled_classify_flood(hand, L, (rows, cols),
+                                 tile_rows=32, tile_cols=32)
